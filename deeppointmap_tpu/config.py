@@ -1,0 +1,157 @@
+"""Configuration system: argparse schema merged with a YAML file.
+
+Parity with the reference CLI (reference: pipeline/parameters.py:37-82):
+the same seven YAML-only trees (dataset, transforms, encoder, decoder,
+train, loss, slam_system) and the same priority rule -- **YAML overrides
+console arguments** (reference: pipeline/parameters.py:18-34, README.md:115).
+Unknown YAML keys warn but are still set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import Any, Iterable, Mapping
+
+import yaml
+
+logger = logging.getLogger(__name__)
+
+
+class Config(dict):
+    """A dict with attribute access, recursively applied (EasyDict-alike)."""
+
+    def __init__(self, d: Mapping | None = None, **kwargs):
+        super().__init__()
+        if d:
+            for k, v in d.items():
+                self[k] = v
+        for k, v in kwargs.items():
+            self[k] = v
+
+    @staticmethod
+    def _wrap(value: Any) -> Any:
+        if isinstance(value, Mapping) and not isinstance(value, Config):
+            return Config(value)
+        if isinstance(value, (list, tuple)):
+            return type(value)(Config._wrap(v) for v in value)
+        return value
+
+    def __setitem__(self, key, value):
+        super().__setitem__(key, Config._wrap(value))
+
+    def __setattr__(self, key, value):
+        self[key] = value
+
+    def __getattr__(self, key):
+        try:
+            return self[key]
+        except KeyError as e:
+            raise AttributeError(key) from e
+
+    def get(self, key, default=None):
+        return super().get(key, default)
+
+
+def str_to_bool(s: str) -> bool:
+    if s.lower() == "true":
+        return True
+    if s.lower() == "false":
+        return False
+    raise argparse.ArgumentTypeError(f"{s!r} is not a boolean")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DeepPointMap-TPU SLAM")
+    p.add_argument("--name", default="DeepPointMap", type=str)
+    p.add_argument("--version", default="v1.0", type=str)
+    p.add_argument("--mode", default="train", type=str, choices=["train", "infer"])
+    p.add_argument("--checkpoint", "-ckpt", default="", type=str,
+                   help="Training checkpoint file")
+    p.add_argument("--weight", "-w", default="", type=str,
+                   help="Model weight file (.pth torch schema or .msgpack)")
+    p.add_argument("--yaml_file", "-yaml", default="", type=str,
+                   help="YAML config; values here override CLI values")
+    p.add_argument("--num_workers", default=4, type=int)
+    p.add_argument("--thread_safety", default=False, action="store_true")
+    p.add_argument("--use_cuda", default="true", type=str_to_bool,
+                   help="Accepted for reference-CLI parity; device choice is JAX's")
+    p.add_argument("--gpu_index", default="0", type=str)
+    p.add_argument("--use_ddp", default=False, action="store_true")
+    p.add_argument("--local_rank", default=0, type=int)
+    p.add_argument("--word_size", default=1, type=int)
+    p.add_argument("--infer_src", default=[], type=list)
+    p.add_argument("--infer_tgt", default="log_infer", type=str)
+    p.add_argument("--multi_thread", "-mt", default=False, action="store_true")
+    p.add_argument("--use_ros", "-ros", default=False, action="store_true")
+    # YAML-only trees
+    p.add_argument("--dataset", help="yaml tree")
+    p.add_argument("--transforms", help="yaml tree")
+    p.add_argument("--encoder", help="yaml tree")
+    p.add_argument("--decoder", help="yaml tree")
+    p.add_argument("--train", help="yaml tree")
+    p.add_argument("--loss", help="yaml tree")
+    p.add_argument("--slam_system", help="yaml tree")
+    # TPU-specific knobs (not in the reference)
+    p.add_argument("--tpu", help="yaml tree: shape buckets, mesh, precision")
+    return p
+
+
+#: Default TPU-specific settings, overridable via the `tpu:` yaml tree.
+TPU_DEFAULTS = Config(
+    # static shape for padded encoder input point sets
+    encoder_points=16384,
+    # shape buckets for registration map tiles (descriptor token counts)
+    reg_buckets=[256, 512, 1024, 2048, 4096],
+    # batch bucket sizes for loop-closure candidate scoring
+    loop_batch_buckets=[1, 4, 16, 64],
+    # bfloat16 matmuls inside the network (accumulate fp32)
+    bf16=True,
+)
+
+
+def update_args(args: Config, cfg: Mapping) -> Config:
+    """Merge a YAML dict into args. YAML wins over CLI values."""
+    for key, value in cfg.items():
+        if key not in args:
+            logger.warning("Unknown parameter in yaml file: %s", key)
+        args[key] = value
+    return args
+
+
+def load_config(argv: list[str] | None = None) -> Config:
+    """Parse CLI args, merge the YAML file, return a Config."""
+    parser = build_parser()
+    ns = parser.parse_args(argv)
+    args = Config(vars(ns))
+    if args.yaml_file:
+        with open(args.yaml_file, "r", encoding="utf-8") as f:
+            cfg = yaml.safe_load(f)
+        args = update_args(args, cfg)
+    tpu = Config(TPU_DEFAULTS)
+    for k, v in (args.get("tpu") or {}).items():
+        tpu[k] = v
+    args.tpu = tpu
+    return args
+
+
+def config_from_yaml(yaml_path: str, **overrides) -> Config:
+    """Build a Config from a YAML file without CLI parsing (library use)."""
+    args = Config(vars(build_parser().parse_args([])))
+    with open(yaml_path, "r", encoding="utf-8") as f:
+        cfg = yaml.safe_load(f)
+    args = update_args(args, cfg)
+    for k, v in overrides.items():
+        args[k] = v
+    tpu = Config(TPU_DEFAULTS)
+    for k, v in (args.get("tpu") or {}).items():
+        tpu[k] = v
+    args.tpu = tpu
+    return args
+
+
+def save_settings(args: Config, path: str) -> None:
+    """Snapshot the resolved config (reference: pipeline/infer.py:92-95)."""
+    with open(path, "w+", encoding="utf-8") as f:
+        for k in sorted(args.keys()):
+            f.write(f"{k}: {args[k]}\n")

@@ -1,0 +1,114 @@
+"""Neighborhood queries over padded point sets (JAX, TPU-first).
+
+The reference's kNN / ball / hybrid queries come from pytorch3d CUDA ops
+(reference: network/encoder/utils.py:18-123). Here they are expressed as
+tiled distance matmuls (MXU) + `lax.top_k`, with padded points masked to
++inf distance. All shapes are static; queries are chunked over centers so
+the (S, N) distance tile stays bounded regardless of point-set size.
+
+Semantics parity notes:
+  * `hybrid_query` matches the reference's 'hybrid-t3d' querier
+    (reference: network/encoder/utils.py:113-123): take K nearest, then
+    replace any neighbor farther than `radius` with the nearest neighbor
+    (the first kNN column).
+  * padded (invalid) points never appear as neighbors of valid centers:
+    their distance is pushed to +inf before top-k (the reference pushes
+    them to 3x the coordinate max -- same effect, reference: network/
+    encoder/utils.py:49).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e9)
+
+
+def pairwise_dist2(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances (S, N) = |s|^2 - 2 s.d + |d|^2.
+
+    Mirrors the reference's `coordinate_distance` (reference: network/
+    encoder/utils.py:288-295) but always accumulates the cross term in
+    float32 on the MXU.
+    """
+    cross = jnp.dot(src, dst.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    s2 = jnp.sum(src.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    d2 = jnp.sum(dst.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    return s2 - 2.0 * cross + d2.T
+
+
+def _masked_dist2(centers, points, points_valid):
+    d2 = pairwise_dist2(centers, points)
+    return jnp.where(points_valid[None, :], d2, _BIG)
+
+
+def knn(
+    points: jnp.ndarray,        # (N, 3)
+    centers: jnp.ndarray,       # (S, 3)
+    k: int,
+    points_valid: jnp.ndarray,  # (N,) bool
+    center_chunk: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """K nearest valid points for each center.
+
+    Returns (idx (S, k) int32 ascending-by-distance, dist2 (S, k) float32).
+    Chunked over centers to bound the live distance tile at
+    (center_chunk, N) floats.
+
+    Caveat: if fewer than k valid points exist, the trailing neighbors are
+    invalid indices carrying the +inf sentinel distance; callers must either
+    guarantee k <= n_valid or filter on dist2 (hybrid_query's radius clamp
+    already does).
+    """
+    s = centers.shape[0]
+    if s <= center_chunk:
+        d2 = _masked_dist2(centers, points, points_valid)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), -neg
+
+    assert s % center_chunk == 0, (s, center_chunk)
+    chunks = centers.reshape(s // center_chunk, center_chunk, 3)
+
+    def body(c):
+        d2 = _masked_dist2(c, points, points_valid)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), -neg
+
+    idx, dist2 = jax.lax.map(body, chunks)
+    return idx.reshape(s, k), dist2.reshape(s, k)
+
+
+def hybrid_query(
+    points: jnp.ndarray,        # (N, 3)
+    centers: jnp.ndarray,       # (S, 3)
+    k: int,
+    radius: float,
+    points_valid: jnp.ndarray,  # (N,) bool
+    center_chunk: int = 2048,
+) -> jnp.ndarray:
+    """kNN then clamp-to-radius: neighbors beyond `radius` are replaced by
+    the nearest neighbor. Returns idx (S, k) int32."""
+    idx, dist2 = knn(points, centers, k, points_valid, center_chunk)
+    nearest = idx[:, :1]
+    out_of_ball = dist2 > (radius * radius)
+    return jnp.where(out_of_ball, nearest, idx)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "center_chunk"))
+def batched_knn(points, centers, k, points_valid, center_chunk=2048):
+    """(B, N, 3) x (B, S, 3) -> (B, S, k) idx + dist2, vmapped."""
+    return jax.vmap(lambda p, c, v: knn(p, c, k, v, center_chunk))(
+        points, centers, points_valid)
+
+
+def group_points(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather neighbor values: values (N, C), idx (S, K) -> (S, K, C).
+
+    Replaces the reference's `index_points` (reference: network/encoder/
+    utils.py:346-355).
+    """
+    return jnp.take(values, idx, axis=0)

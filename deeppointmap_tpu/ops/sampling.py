@@ -1,0 +1,73 @@
+"""Farthest-point sampling on TPU.
+
+The reference relies on pytorch3d's CUDA `sample_farthest_points`
+(reference: network/encoder/utils.py:272-285; python fallback :209-270).
+FPS is inherently sequential (each pick depends on the running min-distance
+field), so the TPU version keeps the whole distance accumulator live across
+a `lax.fori_loop` -- XLA keeps it on-chip for the point-set sizes used here
+(N <= 16384 floats). A Pallas variant lives in ops/pallas_fps.py.
+
+Semantics parity:
+  * deterministic start at index 0 (the reference passes
+    random_start_point=False at inference).
+  * if fewer than K valid points exist, trailing picks are marked padded
+    (reference returns idx -1 there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG = jnp.float32(-1.0)
+_INF = jnp.float32(3.4e38)
+
+
+def farthest_point_sampling(
+    xyz: jnp.ndarray,    # (N, 3) float
+    valid: jnp.ndarray,  # (N,) bool
+    k: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Select k farthest points. Returns (idx (k,) int32, sel_valid (k,) bool).
+
+    Invalid input points are never selected while valid candidates remain;
+    once all valid points are exhausted the remaining slots repeat already-
+    selected indices and are masked out in sel_valid.
+    """
+    n = xyz.shape[0]
+    xyz = xyz.astype(jnp.float32)
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    # first valid point (index 0 if point 0 is valid -- the common case)
+    first = jnp.argmax(valid)
+
+    # min-distance-to-selected-set field; invalid points sit below any
+    # possible distance so argmax never picks them while a valid one remains
+    mindist0 = jnp.where(valid, _INF, _NEG)
+    mindist0 = mindist0.at[first].set(_NEG)
+
+    def body(i, carry):
+        mindist, last, idx_out = carry
+        p = xyz[last]                                     # (3,)
+        d = jnp.sum((xyz - p[None, :]) ** 2, axis=-1)     # (N,)
+        mindist = jnp.minimum(mindist, d)
+        # already-selected & invalid entries stay negative
+        mindist = mindist.at[last].set(_NEG)
+        nxt = jnp.argmax(mindist).astype(jnp.int32)
+        idx_out = idx_out.at[i].set(nxt)
+        return mindist, nxt, idx_out
+
+    idx0 = jnp.zeros((k,), dtype=jnp.int32).at[0].set(first.astype(jnp.int32))
+    _, _, idx = jax.lax.fori_loop(
+        1, k, body, (mindist0, first.astype(jnp.int32), idx0))
+
+    sel_valid = jnp.arange(k) < n_valid
+    return idx, sel_valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def batched_fps(xyz, valid, k):
+    """(B, N, 3), (B, N) -> (B, k) idx, (B, k) sel_valid."""
+    return jax.vmap(lambda x, v: farthest_point_sampling(x, v, k))(xyz, valid)

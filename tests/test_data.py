@@ -1,0 +1,92 @@
+import os
+
+import numpy as np
+import pytest
+
+from deeppointmap_tpu.config import Config, config_from_yaml, update_args
+from deeppointmap_tpu.data.readers import read_auto, read_bin, Scan
+from deeppointmap_tpu.data.voxel import voxel_downsample_indices
+
+SAMPLE_DIR = "/root/reference/data/sample/seq06/velodyne"
+YAML = "/root/reference/configs/infer/DeepPointMap_B_Main_SemanticKITTI.yaml"
+
+
+class TestReaders:
+    @pytest.mark.skipif(not os.path.isdir(SAMPLE_DIR), reason="sample data missing")
+    def test_bin_reader_matches_reference_parse(self):
+        path = os.path.join(SAMPLE_DIR, "000000.bin")
+        scan = read_bin(path)
+        # reference parse (dataloader/heads/bin.py:12-25)
+        ref = np.fromfile(path, dtype=np.float32).reshape(-1, 4)[:, :3]
+        ref = ref[np.isnan(ref).sum(1) == 0]
+        assert scan.xyz.shape == ref.shape
+        assert np.array_equal(scan.xyz, ref)
+
+    def test_auto_dispatch(self, tmp_path):
+        xyz = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+        np.save(tmp_path / "a.npy", xyz)
+        scan = read_auto(str(tmp_path / "a.npy"))
+        assert np.array_equal(scan.xyz, xyz)
+
+    def test_npz_with_pose(self, tmp_path):
+        rng = np.random.default_rng(1)
+        xyz = rng.normal(size=(64, 3)).astype(np.float32)
+        R = np.eye(3, dtype=np.float32)
+        t = np.ones((3, 1), dtype=np.float32)
+        np.savez(tmp_path / "b.npz", lidar_pcd=xyz, ego_rotation=R, ego_translation=t)
+        scan = read_auto(str(tmp_path / "b.npz"))
+        assert np.array_equal(scan.rotation, R)
+        assert np.array_equal(scan.translation, t)
+
+    def test_scan_keep(self):
+        scan = Scan(xyz=np.arange(30, dtype=np.float32).reshape(10, 3))
+        scan.keep(np.array([0, 2, 4]))
+        assert scan.n_points == 3
+
+
+class TestVoxel:
+    def test_one_point_per_voxel(self):
+        rng = np.random.default_rng(0)
+        xyz = rng.uniform(0, 10, size=(5000, 3)).astype(np.float32)
+        keep = voxel_downsample_indices(xyz, 0.5, retention="first")
+        v = ((xyz[keep] - xyz.min(0)) / 0.5).astype(np.int64)
+        key = v[:, 0] * 10**8 + v[:, 1] * 10**4 + v[:, 2]
+        assert len(np.unique(key)) == len(keep)
+
+    def test_first_retention_keeps_first_occurrence(self):
+        xyz = np.array([[0.1, 0.1, 0.1], [0.11, 0.1, 0.1], [5, 5, 5]], dtype=np.float32)
+        keep = voxel_downsample_indices(xyz, 0.3, retention="first")
+        assert set(keep.tolist()) == {0, 2}
+
+    def test_center_retention_prefers_voxel_center(self):
+        # two points in one voxel [0, 0.3): 0.15 is the center
+        xyz = np.array([[0.01, 0.15, 0.15], [0.15, 0.15, 0.15]], dtype=np.float32)
+        keep = voxel_downsample_indices(xyz, 0.3, retention="center")
+        assert keep.tolist() == [1]
+
+    def test_num_cap(self):
+        rng = np.random.default_rng(0)
+        xyz = rng.uniform(0, 10, size=(5000, 3)).astype(np.float32)
+        keep = voxel_downsample_indices(xyz, 0.5, retention="first", num=100)
+        assert len(keep) == 100
+
+
+class TestConfig:
+    def test_yaml_overrides_cli(self):
+        args = Config({"name": "cli-name", "mode": "train"})
+        update_args(args, {"name": "yaml-name"})
+        assert args.name == "yaml-name"
+
+    @pytest.mark.skipif(not os.path.exists(YAML), reason="reference yaml missing")
+    def test_loads_reference_yaml_unchanged(self):
+        args = config_from_yaml(YAML)
+        assert args.encoder.npoint == [4096, 1024, 256, 64, 16]
+        assert args.decoder.attention_layers == 3
+        assert args.slam_system.key_frame_distance == "auto"
+        assert args.slam_system.key_frame_distance_0 == 10
+        assert args.transforms.VoxelSample.voxel_size == 0.3
+        assert args.loss.tau == 0.1
+        # nested attribute access works at all depths
+        assert args.encoder.sample[0].type == "fps-t3d"
+        # tpu defaults attached
+        assert args.tpu.encoder_points == 16384

@@ -1,0 +1,218 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deeppointmap_tpu.ops.neighbors import pairwise_dist2, knn, hybrid_query, group_points
+from deeppointmap_tpu.ops.sampling import farthest_point_sampling
+from deeppointmap_tpu.ops.kabsch import weighted_kabsch
+from deeppointmap_tpu.ops.infomat import information_matrix
+from deeppointmap_tpu.utils import se3 as s
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def np_dist2(a, b):
+    return ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+
+
+class TestNeighbors:
+    def test_pairwise_dist2(self, rng):
+        a = rng.normal(size=(37, 3)).astype(np.float32)
+        b = rng.normal(size=(53, 3)).astype(np.float32)
+        got = np.asarray(pairwise_dist2(jnp.asarray(a), jnp.asarray(b)))
+        # the |a|^2 - 2ab + |b|^2 form cancels; ~1e-3 absolute is expected
+        assert np.allclose(got, np_dist2(a, b), atol=5e-3)
+
+    def test_knn_matches_numpy(self, rng):
+        pts = rng.normal(size=(256, 3)).astype(np.float32) * 5
+        ctr = rng.normal(size=(64, 3)).astype(np.float32) * 5
+        valid = np.ones(256, dtype=bool)
+        valid[200:] = False
+        idx, d2 = knn(jnp.asarray(pts), jnp.asarray(ctr), 8, jnp.asarray(valid))
+        idx, d2 = np.asarray(idx), np.asarray(d2)
+
+        ref = np_dist2(ctr, pts)
+        ref[:, ~valid] = np.inf
+        ref_idx = np.argsort(ref, axis=1)[:, :8]
+        # same distance sets (ties may permute indices)
+        assert np.allclose(np.sort(d2, 1), np.sort(np.take_along_axis(ref, ref_idx, 1), 1), atol=1e-3)
+        assert not np.any(idx >= 200), "invalid points must never be neighbors"
+
+    def test_knn_chunked_equals_unchunked(self, rng):
+        pts = rng.normal(size=(128, 3)).astype(np.float32)
+        ctr = rng.normal(size=(64, 3)).astype(np.float32)
+        valid = np.ones(128, dtype=bool)
+        i1, d1 = knn(jnp.asarray(pts), jnp.asarray(ctr), 4, jnp.asarray(valid), center_chunk=16)
+        i2, d2 = knn(jnp.asarray(pts), jnp.asarray(ctr), 4, jnp.asarray(valid), center_chunk=4096)
+        assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+
+    def test_hybrid_query_clamps_to_nearest(self, rng):
+        # one tight cluster + one faraway point; radius keeps only cluster
+        pts = np.concatenate([rng.normal(size=(31, 3)).astype(np.float32) * 0.01,
+                              np.array([[100.0, 0, 0]], dtype=np.float32)])
+        ctr = np.zeros((1, 3), dtype=np.float32)
+        valid = np.ones(32, dtype=bool)
+        idx = np.asarray(hybrid_query(jnp.asarray(pts), jnp.asarray(ctr), 32, 1.0, jnp.asarray(valid)))
+        assert 31 not in idx, "out-of-radius neighbor must be replaced"
+        # replacement is the nearest neighbor
+        nearest = np.argmin(np_dist2(ctr, pts)[0])
+        assert np.sum(idx == nearest) >= 2
+
+    def test_group_points(self, rng):
+        vals = rng.normal(size=(16, 5)).astype(np.float32)
+        idx = rng.integers(0, 16, size=(4, 3))
+        out = np.asarray(group_points(jnp.asarray(vals), jnp.asarray(idx)))
+        assert np.allclose(out, vals[idx])
+
+
+def np_fps(xyz, n_valid, k):
+    """Reference-faithful python FPS (reference: network/encoder/utils.py:209-270)."""
+    sel = [0]
+    closest = np.full(n_valid, np.inf)
+    for _ in range(1, min(k, n_valid)):
+        d = ((xyz[:n_valid] - xyz[sel[-1]]) ** 2).sum(-1)
+        closest = np.minimum(closest, d)
+        closest[sel] = -1  # equivalent: selected points have dist 0 anyway
+        sel.append(int(np.argmax(closest)))
+    return sel
+
+
+class TestFPS:
+    def test_matches_reference_order(self, rng):
+        xyz = rng.normal(size=(64, 3)).astype(np.float32) * 10
+        valid = np.ones(64, dtype=bool)
+        idx, m = farthest_point_sampling(jnp.asarray(xyz), jnp.asarray(valid), 16)
+        ref = np_fps(xyz, 64, 16)
+        assert np.asarray(idx).tolist() == ref
+        assert np.asarray(m).all()
+
+    def test_never_selects_invalid(self, rng):
+        xyz = rng.normal(size=(64, 3)).astype(np.float32)
+        xyz[40:] = 1000.0  # invalid points are far away -- tempting for FPS
+        valid = np.zeros(64, dtype=bool)
+        valid[:40] = True
+        idx, m = farthest_point_sampling(jnp.asarray(xyz), jnp.asarray(valid), 16)
+        assert np.asarray(idx).max() < 40
+
+    def test_padding_when_too_few_valid(self, rng):
+        xyz = rng.normal(size=(32, 3)).astype(np.float32)
+        valid = np.zeros(32, dtype=bool)
+        valid[:5] = True
+        idx, m = farthest_point_sampling(jnp.asarray(xyz), jnp.asarray(valid), 8)
+        m = np.asarray(m)
+        assert m[:5].all() and not m[5:].any()
+        assert np.asarray(idx)[:5].max() < 5
+
+    def test_coverage_property(self, rng):
+        # FPS picks are far apart: min pairwise distance among selected
+        # should exceed that of a random pick on average
+        xyz = rng.uniform(size=(512, 3)).astype(np.float32)
+        valid = np.ones(512, dtype=bool)
+        idx, _ = farthest_point_sampling(jnp.asarray(xyz), jnp.asarray(valid), 32)
+        sel = xyz[np.asarray(idx)]
+        d = np_dist2(sel, sel) + np.eye(32) * 1e9
+        rand = xyz[rng.choice(512, 32, replace=False)]
+        dr = np_dist2(rand, rand) + np.eye(32) * 1e9
+        assert d.min() > dr.min()
+
+
+class TestKabsch:
+    def _make_problem(self, rng, k=256, noise=0.0, outliers=0):
+        R = s.so3_exp(rng.normal(size=3))
+        t = rng.normal(size=3) * 5
+        src = rng.normal(size=(k, 3)) * 10
+        dst = src @ R.T + t
+        if noise:
+            dst = dst + rng.normal(size=(k, 3)) * noise
+        w = np.clip(rng.uniform(0.4, 1.0, size=k), 0, 1)
+        if outliers:
+            bad = rng.choice(k, outliers, replace=False)
+            dst[bad] += rng.normal(size=(outliers, 3)) * 20
+            # dual-softmax confidence of a wrong pair is low
+            w[bad] = rng.uniform(0.0, 0.3, size=outliers)
+        return (src.astype(np.float32), dst.astype(np.float32),
+                w.astype(np.float32), R, t)
+
+    def test_exact_recovery(self, rng):
+        src, dst, w, R, t = self._make_problem(rng)
+        valid = np.ones(len(src), dtype=bool)
+        Rj, tj, inl, rmse = weighted_kabsch(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), jnp.asarray(valid))
+        assert np.allclose(np.asarray(Rj), R, atol=1e-4)
+        assert np.allclose(np.asarray(tj), t, atol=1e-3)
+        assert float(rmse) < 1e-3
+
+    def test_outlier_rejection(self, rng):
+        src, dst, w, R, t = self._make_problem(rng, noise=0.01, outliers=40)
+        valid = np.ones(len(src), dtype=bool)
+        Rj, tj, inl, rmse = weighted_kabsch(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), jnp.asarray(valid))
+        assert s.rotation_angle(np.asarray(Rj, dtype=np.float64).T @ R) < 0.01
+        assert np.linalg.norm(np.asarray(tj) - t) < 0.1
+        assert float(rmse) < 0.05
+
+    def test_padded_pairs_ignored(self, rng):
+        src, dst, w, R, t = self._make_problem(rng, k=128)
+        # append garbage padding
+        src_p = np.concatenate([src, np.zeros((64, 3), np.float32)])
+        dst_p = np.concatenate([dst, rng.normal(size=(64, 3)).astype(np.float32) * 100])
+        w_p = np.concatenate([w, np.ones(64, np.float32)])
+        valid = np.concatenate([np.ones(128, bool), np.zeros(64, bool)])
+        Rj, tj, inl, rmse = weighted_kabsch(
+            jnp.asarray(src_p), jnp.asarray(dst_p), jnp.asarray(w_p), jnp.asarray(valid))
+        assert np.allclose(np.asarray(Rj), R, atol=1e-4)
+        assert not np.asarray(inl)[128:].any()
+
+    def test_fp32_vs_fp64_oracle(self, rng):
+        # fp32 TPU-style solve must stay within 1e-4 rad of an fp64 solve
+        src, dst, w, R, t = self._make_problem(rng, k=512, noise=0.05)
+        valid = np.ones(len(src), dtype=bool)
+        Rj, tj, _, _ = weighted_kabsch(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w), jnp.asarray(valid))
+        # fp64 oracle: plain weighted kabsch without trimming
+        w64 = w.astype(np.float64)
+        cs = (src * w64[:, None]).sum(0) / w64.sum()
+        cd = (dst * w64[:, None]).sum(0) / w64.sum()
+        S = ((src - cs) * w64[:, None]).T @ (dst - cd)
+        u, _, vt = np.linalg.svd(S)
+        R64 = vt.T @ u.T
+        assert s.rotation_angle(np.asarray(Rj, np.float64).T @ R64) < 5e-3
+
+
+class TestInfoMat:
+    def test_matches_numpy_oracle(self, rng):
+        src = rng.normal(size=(128, 3)).astype(np.float32) * 3
+        R = s.so3_exp(rng.normal(size=3) * 0.1).astype(np.float32)
+        t = (rng.normal(size=3) * 0.1).astype(np.float32)
+        dst = (src @ R.T + t + rng.normal(size=(128, 3)).astype(np.float32) * 0.05)
+        valid = np.ones(128, dtype=bool)
+        got = np.asarray(information_matrix(
+            jnp.asarray(src), jnp.asarray(valid),
+            jnp.asarray(dst), jnp.asarray(valid),
+            jnp.asarray(R), jnp.asarray(t)))
+
+        # numpy oracle replicating reference: system/modules/utils.py:71-104
+        moved = src @ R.T + t
+        d2 = np_dist2(moved, dst)
+        idx = d2.argmin(1)
+        m = d2[np.arange(128), idx] <= 1.0
+        tt = dst[idx][m]
+        GTG = np.zeros((6, 6))
+        for x, y, z in tt:
+            for g in ([0, z, -y, 1, 0, 0], [-z, 0, x, 0, 1, 0], [y, -x, 0, 0, 0, 1]):
+                g = np.array(g, dtype=np.float64)[:, None]
+                GTG += g @ g.T
+        assert np.allclose(got, GTG, rtol=1e-3, atol=1e-2)
+
+    def test_symmetry_and_psd(self, rng):
+        src = rng.normal(size=(64, 3)).astype(np.float32)
+        valid = np.ones(64, dtype=bool)
+        got = np.asarray(information_matrix(
+            jnp.asarray(src), jnp.asarray(valid),
+            jnp.asarray(src), jnp.asarray(valid),
+            jnp.eye(3, dtype=np.float32), np.zeros(3, dtype=np.float32)))
+        assert np.allclose(got, got.T, atol=1e-3)
+        assert np.linalg.eigvalsh(got).min() > -1e-3
