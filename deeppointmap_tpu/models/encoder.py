@@ -1,0 +1,216 @@
+"""PointNeXt-with-FPN descriptor encoder (TPU-native, Flax).
+
+Functional parity with the reference encoder (reference: network/encoder/
+encoder.py:7-69, pointnext.py:8-218): a stem 1x1 projection, five
+downsampling Stages (SetAbstraction + InvResMLP blocks), and two
+FeaturePropagation upsampling layers, emitting 256 descriptor points with
+128-d features.
+
+TPU-first differences from the reference:
+  * channel-last (B, N, C) layout everywhere; Conv1d(k=1) -> Dense.
+  * validity masks (True = real point) instead of padding masks; all
+    neighbor queries/grouping run over statically-padded point sets
+    (reference reaches the same fixed-shape behavior dynamically).
+  * FPS / hybrid-query are our own JAX/Pallas ops (ops/sampling.py,
+    ops/neighbors.py) instead of pytorch3d CUDA kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from deeppointmap_tpu.models.common import MLP
+from deeppointmap_tpu.ops.neighbors import hybrid_query, group_points
+from deeppointmap_tpu.ops.sampling import farthest_point_sampling
+
+
+def _sample_batch(coor, valid, k):
+    """vmap FPS over the batch: (B,N,3),(B,N) -> idx (B,k), valid (B,k)."""
+    return jax.vmap(lambda c, v: farthest_point_sampling(c, v, k))(coor, valid)
+
+
+def _query_batch(points, centers, k, radius, points_valid):
+    return jax.vmap(
+        lambda p, c, v: hybrid_query(p, c, k, radius, v)
+    )(points, centers, points_valid)
+
+
+class SetAbstraction(nn.Module):
+    """Sample -> group -> MLP -> max-pool (reference: pointnext.py:8-64)."""
+
+    npoint: int
+    radius: float
+    nsample: int
+    in_channel: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, coor, fea, valid):
+        # coor (B,N,3) fea (B,N,C) valid (B,N)
+        idx, new_valid = _sample_batch(coor, valid, self.npoint)     # (B,S)
+        new_coor = jnp.take_along_axis(coor, idx[..., None], axis=1)  # (B,S,3)
+
+        group_idx = _query_batch(coor, new_coor, self.nsample, self.radius,
+                                 valid)                               # (B,S,K)
+        g_coor = jax.vmap(group_points)(coor, group_idx)              # (B,S,K,3)
+        g_coor = (g_coor - new_coor[:, :, None, :]) / self.radius
+        g_fea = jax.vmap(group_points)(fea, group_idx)                # (B,S,K,C)
+        g = jnp.concatenate([g_fea, g_coor], axis=-1)                 # (B,S,K,C+3)
+        g = MLP([self.in_channel * 2], bias=self.bias, name="mlp")(g)
+        new_fea = jnp.max(g, axis=2)                                  # (B,S,2C)
+        return new_coor, new_fea, new_valid
+
+
+class LocalAggregation(nn.Module):
+    """Group around every point, MLP, max-pool (reference: pointnext.py:67-109)."""
+
+    radius: float
+    nsample: int
+    in_channel: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, coor, fea, valid):
+        group_idx = _query_batch(coor, coor, self.nsample, self.radius, valid)
+        g_coor = jax.vmap(group_points)(coor, group_idx)
+        g_coor = (g_coor - coor[:, :, None, :]) / self.radius
+        g_fea = jax.vmap(group_points)(fea, group_idx)
+        g = jnp.concatenate([g_fea, g_coor], axis=-1)
+        g = MLP([self.in_channel], bias=self.bias, name="mlp")(g)
+        return jnp.max(g, axis=2)
+
+
+class InvResMLP(nn.Module):
+    """Inverted-residual block (reference: pointnext.py:112-138)."""
+
+    radius: float
+    nsample: int
+    in_channel: int
+    expansion: int = 4
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, coor, fea, valid):
+        identity = fea
+        fea = LocalAggregation(self.radius, self.nsample, self.in_channel,
+                               self.bias, name="la")(coor, fea, valid)
+        fea = MLP([self.in_channel * self.expansion, self.in_channel],
+                  bias=self.bias, drop_last_act=True, name="pw_conv")(fea)
+        return jax.nn.relu(fea + identity)
+
+
+class Stage(nn.Module):
+    """SetAbstraction + (len(radius_list)-1) InvResMLP blocks
+    (reference: pointnext.py:141-173)."""
+
+    npoint: int
+    radius_list: Sequence[float]
+    nsample_list: Sequence[int]
+    in_channel: int
+    expansion: int = 4
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, coor, fea, valid):
+        coor, fea, valid = SetAbstraction(
+            self.npoint, self.radius_list[0], self.nsample_list[0],
+            self.in_channel, self.bias, name="sa")(coor, fea, valid)
+        for i in range(1, len(self.radius_list)):
+            fea = InvResMLP(self.radius_list[i], self.nsample_list[i],
+                            self.in_channel * 2, self.expansion, self.bias,
+                            name=f"irm{i - 1}")(coor, fea, valid)
+        return coor, fea, valid
+
+
+class FeaturePropagation(nn.Module):
+    """Inverse-distance-weighted 3-NN upsampling + MLP
+    (reference: pointnext.py:176-218)."""
+
+    mlp: Sequence[int]
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, coor1, coor2, fea1, fea2, valid2):
+        # interpolate fea2 (B,S,D2) at coor1 (B,N,3); padded deep points are
+        # pushed to +inf distance via the valid mask (reference pushes them
+        # to 3x the coordinate max -- pointnext.py:203)
+        from deeppointmap_tpu.ops.neighbors import pairwise_dist2
+        def interp(c1, c2, f2, v2):
+            d2 = pairwise_dist2(c1, c2)                   # (N, S)
+            d2 = jnp.where(v2[None, :], d2, jnp.float32(1e9))
+            neg, idx = jax.lax.top_k(-d2, 3)              # (N, 3)
+            dist = jnp.maximum(-neg, 1e-8)
+            w = 1.0 / dist
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+            return jnp.sum(jnp.take(f2, idx, axis=0) * w[..., None], axis=1)
+
+        inter = jax.vmap(interp)(coor1, coor2, fea2, valid2)  # (B,N,D2)
+        x = jnp.concatenate([fea1, inter], axis=-1)
+        return MLP(self.mlp, bias=self.bias, name="mlp")(x)
+
+
+class Encoder(nn.Module):
+    """Full backbone. __call__(points (B,N,3+), valid (B,N)) ->
+    (coor (B,S,3), fea (B,S,out_channel), valid (B,S)).
+
+    Config fields mirror the reference yaml `encoder:` tree
+    (reference: configs/infer/DeepPointMap_B_Main_SemanticKITTI.yaml:32-50).
+    """
+
+    npoint: Sequence[int] = (4096, 1024, 256, 64, 16)
+    radius_list: Sequence[Sequence[float]] = (
+        (0.05, 0.1), (0.1, 0.2), (0.2, 0.4, 0.4), (0.4, 0.8), (0.8, 1.6))
+    nsample_list: Sequence[Sequence[int]] = (
+        (32, 32), (32, 32), (32, 32, 32), (32, 32), (16, 16))
+    in_channel: int = 3
+    out_channel: int = 128
+    width: int = 16
+    expansion: int = 4
+    upsample_layers: int = 2
+    bias: bool = True
+
+    @classmethod
+    def from_config(cls, args) -> "Encoder":
+        e = args.encoder
+        norm = str(e.get("norm", "LN")).lower()
+        assert norm == "ln", f"only LayerNorm is supported (got {norm!r})"
+        for s in e.sample:
+            assert str(s["type"]).startswith("fps"), \
+                f"only FPS sampling is supported (got {s['type']!r})"
+        return cls(npoint=tuple(e.npoint),
+                   radius_list=tuple(tuple(r) for r in e.radius_list),
+                   nsample_list=tuple(tuple(n) for n in e.nsample_list),
+                   in_channel=e.in_channel, out_channel=e.out_channel,
+                   width=e.width, expansion=e["expansion"],
+                   upsample_layers=e.upsample_layers,
+                   bias=e.get("bias", True))
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, valid: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        coor = points[..., :3]
+        fea = points[..., :self.in_channel]
+        fea = nn.Dense(self.width, use_bias=True, name="point_mlp0")(fea)
+
+        levels = [(coor, fea, valid)]
+        width = self.width
+        for i in range(len(self.npoint)):
+            c, f, v = Stage(self.npoint[i], self.radius_list[i],
+                            self.nsample_list[i], width, self.expansion,
+                            self.bias, name=f"down{i}")(*levels[-1])
+            levels.append((c, f, v))
+            width *= 2
+
+        c, f, v = levels[-1]
+        for i in range(self.upsample_layers):
+            c1, f1, v1 = levels[len(self.npoint) - i - 1]
+            up_out = max(self.out_channel, width // 2)
+            f = FeaturePropagation(mlp=(up_out, up_out), bias=self.bias,
+                                   name=f"up{i}")(c1, c, f1, f, v)
+            c, v = c1, v1
+            width //= 2
+        return c, f, v

@@ -1,0 +1,138 @@
+"""Single-agent SLAM inference entry point.
+
+CLI parity with the reference (reference: pipeline/infer.py:35-121):
+    python -m deeppointmap_tpu.pipeline.infer --yaml_file cfg.yaml \
+        --weight DeepPointMapAAAI.pth
+accepts the reference's YAML configs unchanged (yaml overrides CLI) and
+writes the same result tree per sequence: settings.yaml snapshot,
+trajectory.{allframes,allsteps,keyframes,keysteps}.txt, posegraph g2o,
+map render.
+
+A prefetch thread overlaps host-side preprocessing with device compute
+(the reference uses torch DataLoader workers, infer.py:98).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import threading
+import time
+
+import numpy as np
+
+from deeppointmap_tpu.config import load_config, save_settings
+from deeppointmap_tpu.data.dataset import BasicAgent
+from deeppointmap_tpu.data.transforms import PointCloudTransforms, to_padded
+from deeppointmap_tpu.pipeline.common import build_models, infer_padding
+from deeppointmap_tpu.slam.engine import InferenceEngine
+from deeppointmap_tpu.slam.system import SlamSystem
+
+logger = logging.getLogger("deeppointmap_tpu.infer")
+
+
+def make_infer_transform(args):
+    """Infer-mode preprocessing returning padded fixed-shape arrays."""
+    tf = PointCloudTransforms(args, mode="infer")
+    pad = infer_padding(args)
+
+    def run(scan):
+        pts, R, T, valid, original = tf(scan)
+        if pts.shape[0] < pad or pts.shape[0] > pad:
+            padded = np.zeros((pad, 3), np.float32)
+            v = np.zeros((pad,), bool)
+            n = min(pts.shape[0], pad)
+            padded[:n] = pts[:n]
+            v[:n] = True
+            pts, valid = padded, v
+        return pts[None], R, T, valid[None], original
+
+    return run
+
+
+def prefetch(dataset, n_buffer: int = 4):
+    """Background-thread prefetch iterator (overlaps preprocessing with
+    device compute)."""
+    q: "queue.Queue" = queue.Queue(maxsize=n_buffer)
+    stop = object()
+
+    def worker():
+        try:
+            for item in dataset:
+                q.put(item)
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item
+
+
+def run_sequence(args, engine, seq_root: str, out_dir: str,
+                 system_id: int = 1) -> SlamSystem:
+    os.makedirs(out_dir, exist_ok=True)
+    agent = BasicAgent(root=seq_root, reader="auto")
+    agent.set_independent(make_infer_transform(args))
+    system = SlamSystem(args, engine, system_id=system_id,
+                        logger_dir=out_dir)
+
+    if args.multi_thread:
+        system.MT_Init()
+        for data in prefetch(agent):
+            system.MT_Step(data)
+        system.MT_Done()
+        system.MT_Wait()
+    else:
+        t0 = time.perf_counter()
+        for i, data in enumerate(prefetch(agent)):
+            code = system.step(data)
+            if (i + 1) % 50 == 0:
+                stats = ", ".join(
+                    f"{k}:{v[0] * 1000:.1f}ms"
+                    for k, v in system.result_logger.log_time(50).items())
+                logger.info("frame %d [%s] %s", i, code.name, stats)
+        dt = time.perf_counter() - t0
+        n = len(agent)
+        logger.info("sequence done: %d frames in %.1fs = %.2f scans/s",
+                    n, dt, n / max(dt, 1e-9))
+
+    system.result_logger.save_trajectory("trajectory")
+    system.result_logger.save_posegraph("trajectory")
+    try:
+        system.result_logger.draw_trajectory("trajectory", draft=False)
+    except Exception as e:  # rendering must never kill a finished run
+        logger.warning("map render failed: %s", e)
+    return system
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    args = load_config(argv)
+    args.mode = "infer"
+
+    engine_models = build_models(args, args.weight)
+    enc, dec, enc_params, dec_params = engine_models
+    engine = InferenceEngine(args, enc_params, dec_params,
+                             encoder=enc, decoder=dec)
+
+    os.makedirs(args.infer_tgt, exist_ok=True)
+    save_settings(args, os.path.join(args.infer_tgt, "settings.yaml"))
+
+    for i, seq in enumerate(args.infer_src):
+        if not os.path.isdir(seq):
+            logger.warning("skip missing sequence dir: %s", seq)
+            continue
+        out_dir = os.path.join(args.infer_tgt, f"Seq{i:02d}")
+        logger.info("=== sequence %d: %s -> %s", i, seq, out_dir)
+        run_sequence(args, engine, seq, out_dir, system_id=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Inference engine: the host<->device boundary of the SLAM system.
+
+Wraps the three network entry points (descriptor extraction, pairwise
+registration, loop scoring) plus the information-matrix op as jit-compiled
+fixed-shape functions with **shape buckets**: variable-size inputs (map
+tiles, candidate batches) are padded up to a small set of static sizes so
+each shape compiles exactly once (the TPU-native equivalent of the
+reference's dynamic shapes -- see SURVEY.md section 5 long-context notes).
+
+The reference reaches these entry points at system/modules/odometry.py:39
+(encoder), odometry.py:108 / mapping.py:152 / loop_closure.py:240
+(registration_forward), loop_closure.py:171 (loop_detection_forward),
+and system/modules/utils.py:60 (information matrix).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeppointmap_tpu.models import Decoder, Encoder
+from deeppointmap_tpu.models.decoder import num_pairs_for
+from deeppointmap_tpu.ops.infomat import information_matrix
+
+
+DEFAULT_REG_BUCKETS = (256, 512, 1024, 2048, 4096)
+DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class InferenceEngine:
+    """Owns model params and compiled functions. NumPy in, NumPy out."""
+
+    def __init__(self, args, enc_params, dec_params,
+                 encoder: Optional[Encoder] = None,
+                 decoder: Optional[Decoder] = None):
+        self.args = args
+        self.coor_scale = float(args.slam_system.coor_scale)
+        tpu = args.get("tpu") or {}
+        self.reg_buckets = tuple(tpu.get("reg_buckets", DEFAULT_REG_BUCKETS))
+        self.batch_buckets = tuple(
+            tpu.get("loop_batch_buckets", DEFAULT_BATCH_BUCKETS))
+        self.encoder = encoder or Encoder.from_config(args)
+        self.decoder = decoder or Decoder.from_config(args)
+        self.enc_params = enc_params
+        self.dec_params = dec_params
+
+        self._extract_fn = jax.jit(self._extract_impl)
+        self._register_fn = jax.jit(self._register_impl,
+                                    static_argnames=("num_pairs",))
+        self._loop_fn = jax.jit(self._loop_impl)
+        self._info_fn = jax.jit(self._info_impl)
+
+    # ------------------------------------------------------------ extract
+    def _extract_impl(self, points, valid):
+        coor, fea, out_valid = self.encoder.apply(self.enc_params,
+                                                  points, valid)
+        # descriptor = [features, xyz * coor_scale] (meters)
+        # (reference: system/modules/odometry.py:47-49)
+        desc = jnp.concatenate([fea, coor * self.coor_scale], axis=-1)
+        return desc, out_valid
+
+    def extract(self, points: np.ndarray, valid: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """points (B, P, 3) normalized coords -> descriptors (B, K, C+3)
+        with xyz in meters, + validity (B, K). Batch padded to a bucket."""
+        b = points.shape[0]
+        bb = _bucket(b, self.batch_buckets)
+        if bb != b:
+            points = np.concatenate(
+                [points, np.zeros((bb - b, *points.shape[1:]), points.dtype)], 0)
+            valid = np.concatenate(
+                [valid, np.zeros((bb - b, valid.shape[1]), bool)], 0)
+        desc, out_valid = self._extract_fn(jnp.asarray(points),
+                                           jnp.asarray(valid))
+        return np.asarray(desc)[:b], np.asarray(out_valid)[:b]
+
+    # --------------------------------------------------------- register
+    def _register_impl(self, src, dst, sv, dv, num_pairs, num_pairs_actual):
+        return self.decoder.apply(self.dec_params, src, dst, sv, dv,
+                                  num_pairs, num_pairs_actual,
+                                  method=Decoder.registration)
+
+    def _pad_tokens(self, desc: np.ndarray, valid: np.ndarray):
+        n = desc.shape[0]
+        b = _bucket(n, self.reg_buckets)
+        if n > b:
+            # oversized tile: keep the tokens nearest the tile center
+            # (tiles are centered on the query pose; reference tiles are
+            # bounded to <= 16 keyframes x 256 by graph_search max_k)
+            d = np.linalg.norm(desc[:, -3:], axis=1)
+            d[~valid] = np.inf
+            keep = np.argsort(d)[:b]
+            return desc[keep], valid[keep], b
+        if n < b:
+            desc = np.concatenate(
+                [desc, np.zeros((b - n, desc.shape[1]), desc.dtype)], 0)
+            valid = np.concatenate([valid, np.zeros(b - n, bool)], 0)
+        return desc, valid, b
+
+    def register(self, src_desc, src_valid, dst_desc, dst_valid,
+                 num_sample=0.5):
+        """-> (SE3 (4,4) float64 with dst = SE3 @ src, confidence, rmse).
+
+        Matches Decoder.registration_forward semantics: solves
+        dst ~= R @ src + t over offset-corrected top-k pairs
+        (reference: decoder.py:91-127)."""
+        m_real = int(src_valid.sum())
+        n_real = int(dst_valid.sum())
+        src, sv, mb = self._pad_tokens(src_desc, src_valid)
+        dst, dv, nb = self._pad_tokens(dst_desc, dst_valid)
+        k_static = num_pairs_for(mb, nb, num_sample)
+        k_actual = num_pairs_for(min(m_real, mb), min(n_real, nb), num_sample)
+        R, t, conf, rmse, n_in = self._register_fn(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(sv),
+            jnp.asarray(dv), num_pairs=k_static,
+            num_pairs_actual=jnp.int32(k_actual))
+        SE3 = np.eye(4)
+        SE3[:3, :3] = np.asarray(R, np.float64)
+        SE3[:3, 3] = np.asarray(t, np.float64)
+        return SE3, float(conf), float(rmse)
+
+    # ------------------------------------------------------ loop scoring
+    def _loop_impl(self, src, dst, sv, dv):
+        return self.decoder.apply(self.dec_params, src, dst, sv, dv,
+                                  method=Decoder.loop_detection)
+
+    def loop_scores(self, src_batch, dst_batch, src_valid, dst_valid
+                    ) -> np.ndarray:
+        """(B, K, C+3) x2 -> loop probabilities (B,). Batch padded to a
+        bucket (reference batches all candidates at once,
+        loop_closure.py:166-174)."""
+        b = src_batch.shape[0]
+        bb = _bucket(b, self.batch_buckets)
+        if bb != b:
+            pad = lambda x: np.concatenate(
+                [x, np.zeros((bb - b, *x.shape[1:]), x.dtype)], 0)
+            src_batch, dst_batch = pad(src_batch), pad(dst_batch)
+            src_valid, dst_valid = pad(src_valid), pad(dst_valid)
+            # fully-invalid rows would NaN the attention softmax; make the
+            # padded rows trivially valid on one token
+            src_valid[b:, 0] = True
+            dst_valid[b:, 0] = True
+        probs = self._loop_fn(jnp.asarray(src_batch), jnp.asarray(dst_batch),
+                              jnp.asarray(src_valid), jnp.asarray(dst_valid))
+        return np.asarray(probs)[:b]
+
+    # -------------------------------------------------- information matrix
+    def _info_impl(self, src, sv, dst, dv, R, t):
+        return information_matrix(src, sv, dst, dv, R, t)
+
+    def compute_information_matrix(self, src_pcd, src_valid, dst_pcd,
+                                   dst_valid, SE3) -> np.ndarray:
+        """6x6 Gauss-Newton information matrix
+        (reference: system/modules/utils.py:60-113). src/dst are the
+        fixed-size padded full point clouds."""
+        R = jnp.asarray(SE3[:3, :3], jnp.float32)
+        t = jnp.asarray(SE3[:3, 3], jnp.float32)
+        out = self._info_fn(jnp.asarray(src_pcd), jnp.asarray(src_valid),
+                            jnp.asarray(dst_pcd), jnp.asarray(dst_valid),
+                            R, t)
+        return np.asarray(out, np.float64)

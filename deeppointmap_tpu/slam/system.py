@@ -1,0 +1,382 @@
+"""SLAM system: sequential step, 6-stage threaded pipeline, agent/cloud.
+
+Parity with the reference `SlamSystem` / `AgentSystem` / `CloudSystem`
+(reference: system/core.py:30-546). The pipelined mode keeps the
+reference's stage graph -- ToDevice -> Extractor (dynamic batch <= 32) ->
+Odometer -> Mapping (depth-1 queue backpressure) -> Backend -> Output --
+as host threads around the jit-compiled engine; Python threads suffice
+because stage time is dominated by device compute and the GIL is released
+during XLA execution.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from typing import Any, List, Optional, Tuple
+
+import numpy as np
+
+from deeppointmap_tpu.config import Config
+from deeppointmap_tpu.slam.engine import InferenceEngine
+from deeppointmap_tpu.slam.modules import (ExtractionModule, LoopClosureModule,
+                                           MappingModule, OdometryModule)
+from deeppointmap_tpu.slam.pose_graph import (PoseGraph, PoseGraphEdge,
+                                              ScanPack)
+from deeppointmap_tpu.slam.recoder import ResultLogger
+from deeppointmap_tpu.slam.utils import EXIT_CODE, CommModule
+from deeppointmap_tpu.utils import se3 as se3m
+
+logger = logging.getLogger(__name__)
+
+
+class SlamSystem:
+    EXTRACTOR_BATCHSIZE = 32
+    MAX_CAP_QUEUE = 50
+
+    def __init__(self, args, engine: InferenceEngine, system_id: int,
+                 logger_dir: Optional[str] = None,
+                 comm_module: Optional[CommModule] = None):
+        self.args = args
+        self.system_id = system_id
+        self.coor_sys = system_id
+        self.system_info = Config({"agent_id": system_id})
+        self.engine = engine
+        self.frame_id = -1
+        self.coor_scale = float(args.slam_system.coor_scale)
+
+        self.posegraph_map = PoseGraph(args=args, agent_id=system_id)
+        ss_args = args  # modules read args.slam_system themselves
+        self.extraction = ExtractionModule(ss_args, self.system_info,
+                                           self.posegraph_map, engine)
+        self.odometry = OdometryModule(ss_args, self.system_info,
+                                       self.posegraph_map, engine)
+        self.mapping = MappingModule(ss_args, self.system_info,
+                                     self.posegraph_map, engine)
+        self.loop = LoopClosureModule(ss_args, self.system_info,
+                                      self.posegraph_map, engine)
+        if logger_dir is None:
+            logger_dir = args.infer_tgt
+        self.result_logger = ResultLogger(args, self.system_info,
+                                          self.posegraph_map, logger_dir)
+        self.comm_module = comm_module
+        if comm_module is not None:
+            self.comm_id = system_id
+            comm_module.register(self.comm_id)
+
+    # -------------------------------------------------------------- build
+    def _make_scan(self, descriptors, desc_valid, point_cloud, pcd_valid,
+                   R, T) -> ScanPack:
+        """Assemble a ScanPack (reference: core.py:371-379); full_pcd is
+        re-scaled back to meters."""
+        self.frame_id += 1
+        return ScanPack(
+            timestamp=self.frame_id * 0.1,
+            agent_id=self.system_id,
+            timestep=self.frame_id,
+            key_points=np.asarray(descriptors, np.float32),
+            key_valid=np.asarray(desc_valid, bool),
+            full_pcd=np.asarray(point_cloud, np.float32) * self.coor_scale,
+            full_valid=np.asarray(pcd_valid, bool),
+            coor_sys=self.coor_sys,
+            SE3_gt=se3m.se3(R, T) if R is not None else None)
+
+    def _first_scan(self, new_scan: ScanPack) -> None:
+        """First scan in the graph (reference: core.py:385-390)."""
+        new_scan.SE3_pred = np.eye(4)
+        self.posegraph_map.add_vertex(new_scan)
+        self.posegraph_map.last_known_anyframe = new_scan.token
+        self.posegraph_map.last_known_keyframe = new_scan.token
+
+    def _upload(self, new_scan: ScanPack,
+                odom_edge: Optional[PoseGraphEdge]) -> None:
+        """Ship scan + edges to the cloud (reference: core.py:411-422)."""
+        if self.comm_module is None:
+            return
+        neighbor_edges = []
+        for j in self.posegraph_map.get_neighbor_tokens(new_scan.token):
+            if odom_edge is not None and j in (odom_edge.src_scan_token,
+                                               odom_edge.dst_scan_token):
+                continue
+            e = self.posegraph_map.get_edge_either(j, new_scan.token)
+            if e is None:
+                raise RuntimeError(f"edge {(new_scan.token, j)} not exists")
+            neighbor_edges.append(e)
+        self.comm_module.send_message(
+            self.comm_id, 0, "UPLOAD_SCAN",
+            dict(new_scan=new_scan.copy(), odometer_edge=odom_edge,
+                 neighbor_edges=neighbor_edges))
+
+    # --------------------------------------------------------- sequential
+    def step(self, sensor_data: Tuple) -> EXIT_CODE:
+        """One frame through the full pipeline (reference: core.py:360-423).
+        sensor_data = (points (1, P, 3) normalized, R, T, valid, original)."""
+        point_cloud, R, T, valid = sensor_data[:4]
+        point_cloud = np.asarray(point_cloud)
+        valid = np.asarray(valid)
+        if point_cloud.ndim == 2:
+            point_cloud, valid = point_cloud[None], valid[None]
+
+        perf_t = time.perf_counter()
+        descriptors, desc_valid = self.extraction.process(point_cloud, valid)
+        new_scan = self._make_scan(descriptors[0], desc_valid[0],
+                                   point_cloud[0], valid[0], R, T)
+        self.result_logger.record_perf("extract", time.perf_counter() - perf_t)
+
+        perf_t = time.perf_counter()
+        odom_edges = self.odometry.process(new_scan)
+        if not odom_edges:
+            self._first_scan(new_scan)
+            self._upload(new_scan, None)
+            return EXIT_CODE.acpt
+        odom_edge = odom_edges[0]
+        self.result_logger.record_perf("odometer", time.perf_counter() - perf_t)
+
+        perf_t = time.perf_counter()
+        result = self.mapping.process(new_scan, odom_edge)
+        self.result_logger.record_perf("mapping", time.perf_counter() - perf_t)
+        if isinstance(result, EXIT_CODE):
+            return result
+
+        perf_t = time.perf_counter()
+        self.loop.process(new_scan, targets="self")
+        self.posegraph_map.last_known_anyframe = new_scan.token
+        self.result_logger.record_perf("loop_closure",
+                                       time.perf_counter() - perf_t)
+
+        self._upload(new_scan, odom_edge)
+        return EXIT_CODE.acpt
+
+    # ----------------------------------------------------------- pipeline
+    def MT_Init(self) -> None:
+        """Spawn the 6-stage pipeline (reference: core.py:82-109)."""
+        self._q_in = queue.Queue()
+        self._q_pre_ext = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
+        self._q_ext_odo = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
+        self._q_odo_map = queue.Queue(maxsize=1)   # backpressure
+        self._q_map_bak = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
+        self._q_bak_out = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
+        self._threads = [
+            threading.Thread(target=self._mt_todevice,
+                             args=(self._q_in, self._q_pre_ext), daemon=True),
+            threading.Thread(target=self._mt_extractor,
+                             args=(self._q_pre_ext, self._q_ext_odo), daemon=True),
+            threading.Thread(target=self._mt_odometer,
+                             args=(self._q_ext_odo, self._q_odo_map), daemon=True),
+            threading.Thread(target=self._mt_mapping,
+                             args=(self._q_odo_map, self._q_map_bak), daemon=True),
+            threading.Thread(target=self._mt_backend,
+                             args=(self._q_map_bak, self._q_bak_out), daemon=True),
+            threading.Thread(target=self._mt_output,
+                             args=(self._q_bak_out,), daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+
+    def MT_Step(self, sensor_data) -> None:
+        self._q_in.put(sensor_data)
+
+    def MT_Done(self) -> None:
+        self._q_in.put(EXIT_CODE.exit)
+
+    def MT_Wait(self) -> None:
+        for t in self._threads:
+            t.join()
+
+    def _mt_todevice(self, q_in, q_out):
+        while True:
+            item = q_in.get()
+            if isinstance(item, EXIT_CODE):
+                q_out.put(item)
+                if item == EXIT_CODE.exit:
+                    break
+                continue
+            perf_t = time.perf_counter()
+            point_cloud, R, T, valid = item[:4]
+            point_cloud = np.asarray(point_cloud, np.float32)
+            valid = np.asarray(valid, bool)
+            if point_cloud.ndim == 2:
+                point_cloud, valid = point_cloud[None], valid[None]
+            self.result_logger.record_perf("to_device",
+                                           time.perf_counter() - perf_t)
+            q_out.put((point_cloud, R, T, valid))
+
+    def _mt_extractor(self, q_in, q_out):
+        """Dynamic batching up to EXTRACTOR_BATCHSIZE
+        (reference: core.py:135-186); batches pad to the engine's batch
+        buckets so only a few shapes compile."""
+        will_exit = False
+        while not will_exit:
+            items = [q_in.get()]
+            while q_in.qsize() > 0 and len(items) < self.EXTRACTOR_BATCHSIZE:
+                items.append(q_in.get())
+            batch = []
+            for item in items:
+                if isinstance(item, EXIT_CODE):
+                    if item == EXIT_CODE.exit:
+                        will_exit = True
+                    else:
+                        q_out.put(item)
+                else:
+                    batch.append(item)
+            perf_t = time.perf_counter()
+            if batch:
+                pcs = np.concatenate([b[0] for b in batch], 0)
+                vals = np.concatenate([b[3] for b in batch], 0)
+                descs, dvalids = self.extraction.process(pcs, vals)
+                for (pc, R, T, val), desc, dv in zip(
+                        batch, descs, dvalids):
+                    scan = self._make_scan(desc, dv, pc[0], val[0], R, T)
+                    q_out.put(scan)
+                self.result_logger.record_perf(
+                    "extract", time.perf_counter() - perf_t)
+            if will_exit:
+                q_out.put(EXIT_CODE.exit)
+
+    def _mt_odometer(self, q_in, q_out):
+        while True:
+            item = q_in.get()
+            if isinstance(item, EXIT_CODE):
+                q_out.put(item)
+                if item == EXIT_CODE.exit:
+                    break
+                continue
+            new_scan = item
+            perf_t = time.perf_counter()
+            odom_edges = self.odometry.process(new_scan)
+            if not odom_edges:
+                self._first_scan(new_scan)
+                self._upload(new_scan, None)
+                continue
+            self.result_logger.record_perf("odometer",
+                                           time.perf_counter() - perf_t)
+            q_out.put((new_scan, odom_edges[0]))
+
+    def _mt_mapping(self, q_in, q_out):
+        while True:
+            item = q_in.get()
+            if isinstance(item, EXIT_CODE):
+                q_out.put(item)
+                if item == EXIT_CODE.exit:
+                    break
+                continue
+            new_scan, odom_edge = item
+            perf_t = time.perf_counter()
+            result = self.mapping.process(new_scan, odom_edge)
+            self.result_logger.record_perf("mapping",
+                                           time.perf_counter() - perf_t)
+            if isinstance(result, EXIT_CODE):
+                continue
+            self._upload(new_scan, odom_edge)
+            q_out.put(new_scan)
+
+    def _mt_backend(self, q_in, q_out):
+        while True:
+            item = q_in.get()
+            if isinstance(item, EXIT_CODE):
+                q_out.put(item)
+                if item == EXIT_CODE.exit:
+                    break
+                continue
+            new_scan = item
+            perf_t = time.perf_counter()
+            self.loop.process(new_scan, targets="all")
+            self.posegraph_map.last_known_anyframe = new_scan.token
+            self.result_logger.record_perf("loop_closure",
+                                           time.perf_counter() - perf_t)
+            q_out.put(EXIT_CODE.acpt)
+
+    def _mt_output(self, q_in):
+        while True:
+            item = q_in.get()
+            if item == EXIT_CODE.exit:
+                break
+
+
+class AgentSystem(SlamSystem):
+    """SlamSystem fed from its own dataloader thread
+    (reference: core.py:426-448)."""
+
+    def start(self, dataloader) -> None:
+        def feed():
+            for data in dataloader:
+                self.step(data)
+        self._feed_thread = threading.Thread(target=feed, daemon=True)
+        self._feed_thread.start()
+
+    def wait(self) -> None:
+        self._feed_thread.join()
+
+
+class CloudSystem(SlamSystem):
+    """Consumes UPLOAD_SCAN messages, merges pose graphs, runs cross-agent
+    loop closure (reference: core.py:451-546)."""
+
+    def __init__(self, args, engine: InferenceEngine,
+                 logger_dir: Optional[str] = None,
+                 comm_module: Optional[CommModule] = None):
+        assert comm_module is not None
+        super().__init__(args, engine, system_id=0, logger_dir=logger_dir,
+                         comm_module=comm_module)
+        self.posegraph_map.uncertain = True
+
+    def cloud_step(self, scan_pack: ScanPack,
+                   odom_edge: Optional[PoseGraphEdge],
+                   neighbor_edges: List[PoseGraphEdge]) -> None:
+        """(reference: core.py:466-514)"""
+        pg = self.posegraph_map
+        assert scan_pack.type == "full"
+        pg.add_vertex(scan_pack)
+        if odom_edge is not None:
+            if scan_pack.token == odom_edge.src_scan_token:
+                dst = pg.get_scanpack(odom_edge.dst_scan_token)
+                SE3 = dst.SE3_pred @ se3m.inv(odom_edge.SE3)
+                pg.update_scan_token(scan_pack.token, new_SE3_pred=SE3,
+                                     new_coor_sys=dst.coor_sys)
+            else:
+                src = pg.get_scanpack(odom_edge.src_scan_token)
+                SE3 = src.SE3_pred @ odom_edge.SE3
+                pg.update_scan_token(scan_pack.token, new_SE3_pred=SE3,
+                                     new_coor_sys=src.coor_sys)
+            pg.add_edge(odom_edge)
+        for e in neighbor_edges:
+            pg.add_edge(e)
+
+        # repair stale coordinate systems (reference: core.py:488-505)
+        base = min((s for s in pg.get_all_scans()
+                    if s.agent_id == scan_pack.agent_id),
+                   key=lambda s: s.timestep)
+        scan_now = pg.get_scanpack(scan_pack.token)
+        if base.coor_sys != scan_now.coor_sys:
+            for n in pg.get_neighbor_tokens(scan_pack.token):
+                nb = pg.get_scanpack(n)
+                e = pg.get_edge_either(n, scan_pack.token)
+                rel = (e.SE3 if e.src_scan_token == n else se3m.inv(e.SE3))
+                pose_new = nb.SE3_pred @ rel
+                coor_new = nb.coor_sys
+            pg.update_scan_token(scan_pack.token, new_SE3_pred=pose_new,
+                                 new_coor_sys=coor_new)
+
+        self.loop.process(scan_now, targets="others")
+
+    def start(self) -> None:
+        def fetch():
+            while True:
+                msg = self.comm_module.fetch_message(self.system_id)
+                src_id, command, data = msg
+                if command == "QUIT":
+                    break
+                if command in ("NO_OP", "AGENT_QUIT"):
+                    continue
+                if command == "UPLOAD_SCAN":
+                    self.cloud_step(data["new_scan"], data["odometer_edge"],
+                                    data["neighbor_edges"])
+                else:
+                    raise RuntimeError(f"unknown operation {command}")
+        self._fetch_thread = threading.Thread(target=fetch, daemon=True)
+        self._fetch_thread.start()
+
+    def wait(self) -> None:
+        self._fetch_thread.join()

@@ -1,0 +1,93 @@
+"""Pose-graph optimizer: Jacobian correctness, convergence, g2o round-trip."""
+
+import numpy as np
+import pytest
+
+from deeppointmap_tpu.slam.optimizer import (
+    edge_residual_jacobians, optimize_pose_graph, load_g2o)
+from deeppointmap_tpu.utils import se3 as se3m
+
+
+def _rand_se3(rng, rot_scale=0.5, trans_scale=2.0):
+    xi = np.concatenate([rng.normal(size=3) * trans_scale,
+                         rng.normal(size=3) * rot_scale])
+    return se3m.se3_exp(xi)
+
+
+def test_edge_jacobians_finite_diff():
+    rng = np.random.default_rng(0)
+    Ti = _rand_se3(rng)
+    Tj = _rand_se3(rng)
+    # measurement near the true relative pose so residual is small
+    Z = se3m.inv(Ti) @ Tj @ se3m.se3_exp(rng.normal(size=6) * 0.05)
+    r0, Ji, Jj = edge_residual_jacobians(Ti, Tj, Z)
+
+    eps = 1e-6
+    Ji_fd = np.zeros((6, 6))
+    Jj_fd = np.zeros((6, 6))
+    for k in range(6):
+        d = np.zeros(6)
+        d[k] = eps
+        r_i, _, _ = edge_residual_jacobians(Ti @ se3m.se3_exp(d), Tj, Z)
+        r_j, _, _ = edge_residual_jacobians(Ti, Tj @ se3m.se3_exp(d), Z)
+        Ji_fd[:, k] = (r_i - r0) / eps
+        Jj_fd[:, k] = (r_j - r0) / eps
+    np.testing.assert_allclose(Ji, Ji_fd, atol=1e-4)
+    np.testing.assert_allclose(Jj, Jj_fd, atol=1e-4)
+
+
+def _circle_graph(n=40, radius=30.0, noise=0.02, rng=None):
+    """GT poses on a circle; odometry edges with noise; one loop edge."""
+    rng = rng or np.random.default_rng(1)
+    gt = []
+    for k in range(n):
+        a = 2 * np.pi * k / n
+        R = np.array([[np.cos(a), -np.sin(a), 0],
+                      [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+        t = np.array([radius * np.cos(a), radius * np.sin(a), 0.0])
+        gt.append(se3m.se3(R, t))
+    omega = np.eye(6)
+    edges = []
+    for k in range(n - 1):
+        Z = se3m.inv(gt[k]) @ gt[k + 1] @ se3m.se3_exp(rng.normal(size=6) * noise)
+        edges.append((k, k + 1, Z, omega, 1.0))
+    # loop closure, exact
+    edges.append((n - 1, 0, se3m.inv(gt[n - 1]) @ gt[0], 10 * omega, 1.0))
+    # drifted initialization: integrate the noisy odometry
+    init = [gt[0]]
+    for k in range(n - 1):
+        init.append(init[-1] @ edges[k][2])
+    return np.stack(gt, 0), np.stack(init, 0), edges
+
+
+def test_optimize_closes_loop():
+    gt, init, edges = _circle_graph()
+    drift0 = np.linalg.norm(init[-1][:3, 3] - gt[-1][:3, 3])
+    out = optimize_pose_graph(init, edges, fixed_idx=0)
+    drift1 = np.linalg.norm(out[-1][:3, 3] - gt[-1][:3, 3])
+    assert drift1 < drift0 * 0.05, (drift0, drift1)
+    # optimization improves mean translation error over the drifted init
+    err0 = np.linalg.norm(init[:, :3, 3] - gt[:, :3, 3], axis=1).mean()
+    err1 = np.linalg.norm(out[:, :3, 3] - gt[:, :3, 3], axis=1).mean()
+    assert err1 < err0, (err0, err1)
+
+
+def test_g2o_roundtrip(tmp_path):
+    from deeppointmap_tpu.slam.pose_graph import PoseGraph, ScanPack, PoseGraphEdge
+
+    rng = np.random.default_rng(2)
+    g = PoseGraph(agent_id=0)
+    poses = [_rand_se3(rng) for _ in range(4)]
+    for i, p in enumerate(poses):
+        g.add_vertex(ScanPack(timestamp=i, agent_id=0, timestep=i,
+                              key_points=None, SE3_pred=p))
+    for i in range(3):
+        Z = se3m.inv(poses[i]) @ poses[i + 1]
+        g.add_edge(PoseGraphEdge(i, i + 1, Z, np.eye(6) * 2.0, "odom"))
+    path = tmp_path / "graph.g2o"
+    g.to_g2o_file(str(path))
+    tokens, loaded, edges = load_g2o(str(path))
+    assert tokens == [0, 1, 2, 3]
+    np.testing.assert_allclose(loaded, np.stack(poses), atol=1e-6)
+    assert len(edges) == 3
+    np.testing.assert_allclose(edges[0][3], np.eye(6) * 2.0, atol=1e-9)
