@@ -25,12 +25,13 @@ from flax import linen as nn
 
 from deeppointmap_tpu.models.common import MLP
 from deeppointmap_tpu.ops.neighbors import hybrid_query, group_points
-from deeppointmap_tpu.ops.sampling import farthest_point_sampling
+from deeppointmap_tpu.ops.sampling import batched_fps
 
 
 def _sample_batch(coor, valid, k):
-    """vmap FPS over the batch: (B,N,3),(B,N) -> idx (B,k), valid (B,k)."""
-    return jax.vmap(lambda c, v: farthest_point_sampling(c, v, k))(coor, valid)
+    """Batched FPS: (B,N,3),(B,N) -> idx (B,k), valid (B,k). Dispatches
+    to the Pallas kernel on TPU (ops/sampling.py)."""
+    return batched_fps(coor, valid, k)
 
 
 def _query_batch(points, centers, k, radius, points_valid):

@@ -69,5 +69,12 @@ def farthest_point_sampling(
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def batched_fps(xyz, valid, k):
-    """(B, N, 3), (B, N) -> (B, k) idx, (B, k) sel_valid."""
+    """(B, N, 3), (B, N) -> (B, k) idx, (B, k) sel_valid.
+
+    Platform dispatcher: the Pallas kernel on TPU (single-kernel loop,
+    fast to compile and VMEM-resident -- see ops/pallas_fps.py), the XLA
+    fori_loop version elsewhere. Both match the NumPy oracle exactly."""
+    if jax.default_backend() == "tpu":
+        from deeppointmap_tpu.ops.pallas_fps import fps_pallas_batched
+        return fps_pallas_batched(xyz, valid, k)
     return jax.vmap(lambda x, v: farthest_point_sampling(x, v, k))(xyz, valid)

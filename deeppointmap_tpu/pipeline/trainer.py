@@ -1,0 +1,227 @@
+"""Trainer: two-stage curriculum training loop with checkpoint/resume.
+
+Parity with the reference Trainer (reference: pipeline/modules/
+trainer.py:30-336): stage 1 trains registration (loop head frozen),
+stage 2 trains only the loop head; curriculum K grows as
+K = K_0 * K_mult^(epoch // mult_epoch) capped at K_max
+(trainer.py:131-140); checkpoints hold params/opt-state/epoch/step and
+resume re-selects the stage; metrics stream to a JSONL file (the
+reference uses TensorBoard, trainer.py:186-199).
+
+TPU-first notes: the jitted train steps are compiled per (S, S1-agnostic)
+shape bucket -- the curriculum's K growth adds a handful of compiles per
+stage; bf16 autocast is unnecessary (MXU matmuls already run bf16 via the
+default matmul precision).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+import optax
+
+from deeppointmap_tpu.models import Decoder, Encoder
+from deeppointmap_tpu.models.loss import LossConfig
+from deeppointmap_tpu.parallel.train_step import (
+    TrainState, loop_param_mask, make_loop_train_step,
+    make_registration_train_step)
+from deeppointmap_tpu.pipeline.batching import (build_loop_batch,
+                                                build_registration_batch)
+from deeppointmap_tpu.pipeline.common import save_weights
+from deeppointmap_tpu.pipeline.train_utils import (Recorder, build_optimizer,
+                                                   build_schedule)
+
+logger = logging.getLogger(__name__)
+
+
+def registration_param_mask(params_pair):
+    """Stage 1: everything trainable EXCEPT the loop head
+    (reference: model_pipeline.py:183-189)."""
+    enc_params, dec_params = params_pair
+    dec_mask = {k: jax.tree.map(lambda _: not k.startswith("loop"), v)
+                for k, v in dec_params["params"].items()}
+    return (jax.tree.map(lambda _: True, enc_params), {"params": dec_mask})
+
+
+class Trainer:
+    def __init__(self, args, dataset, encoder: Encoder, decoder: Decoder,
+                 enc_params, dec_params,
+                 rng: Optional[np.random.Generator] = None):
+        self.args = args
+        self.cfg = args.train
+        self.dataset = dataset
+        self.encoder = encoder
+        self.decoder = decoder
+        self.rng = rng or np.random.default_rng(0)
+        self.loss_cfg = LossConfig.from_args(args)
+        self.coor_scale = float(args.slam_system.coor_scale)
+        self.pad_to = int(args.tpu.encoder_points)
+
+        self.stage_epochs = [self.cfg.registration.num_epochs,
+                             self.cfg.loop_detection.num_epochs]
+        self.epoch = 0
+        self.step = 0
+        self.stage = 1
+        self.log_dir = getattr(args, "infer_tgt", "./log_train") or "./log_train"
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._metrics_file = open(
+            os.path.join(self.log_dir, "metrics.jsonl"), "a")
+
+        self._params = (enc_params, dec_params)
+        self._setup_stage()
+
+    # ------------------------------------------------------------- stage
+    def _steps_per_epoch(self) -> int:
+        bs = (self.cfg.registration.batch_size if self.stage == 1
+              else self.cfg.loop_detection.batch_size)
+        return max(len(self.dataset) // max(bs, 1), 1)
+
+    def _setup_stage(self) -> None:
+        """(Re)build optimizer + jitted step for the current stage
+        (reference stage switch: trainer.py:313-336)."""
+        if self.stage == 1:
+            cfg = self.cfg.registration
+            self.dataset.registration()
+            mask_fn = registration_param_mask
+        else:
+            cfg = self.cfg.loop_detection
+            self.dataset.loop_detection()
+            mask_fn = loop_param_mask
+        lr = float(cfg.optimizer.get("kwargs", {}).get("lr", 1e-3))
+        schedule = build_schedule(cfg.get("scheduler"), lr,
+                                  self._steps_per_epoch(), cfg.num_epochs)
+        base_opt = build_optimizer(cfg.optimizer, schedule)
+        self.optimizer = optax.masked(base_opt, mask_fn(self._params))
+        opt_state = self.optimizer.init(self._params)
+        self.state = TrainState(self._params[0], self._params[1], opt_state,
+                                np.int32(self.step))
+        if self.stage == 1:
+            raw_step = make_registration_train_step(
+                self.encoder, self.decoder, self.loss_cfg, self.optimizer,
+                self.coor_scale,
+                max_pairs=int(self.cfg.registration.get("max_pairs", 1024)))
+        else:
+            raw_step = make_loop_train_step(self.encoder, self.decoder,
+                                            self.optimizer, self.coor_scale)
+        self.train_step = jax.jit(raw_step, donate_argnums=(0,))
+
+    def _curriculum_K(self) -> int:
+        """K = min(K_0 * K_mult^(epoch // mult_epoch), K_max)
+        (reference: trainer.py:131-140)."""
+        cfg = self.cfg.registration
+        times = self.epoch // int(cfg.get("mult_epoch", 1e9) or 1e9)
+        k = int(cfg.get("K_0", cfg.K) * (cfg.get("K_mult", 1.0) ** times))
+        return min(max(k, 2), int(cfg.get("K_max", cfg.K)))
+
+    # ------------------------------------------------------------- train
+    def run(self) -> None:
+        total_epochs = sum(self.stage_epochs)
+        while self.epoch < total_epochs:
+            if self.stage == 1 and self.epoch >= self.stage_epochs[0]:
+                logger.info("=== stage 2 (loop detection) begins")
+                self.stage = 2
+                self._params = (self.state.enc_params, self.state.dec_params)
+                self._setup_stage()
+            self.train_one_epoch()
+            self.epoch += 1
+            if self.epoch % int(self.cfg.get("save_cycle", 1)) == 0:
+                self.save()
+        self.save(final=True)
+
+    def _iter_batches(self):
+        n = self._steps_per_epoch()
+        if self.stage == 1:
+            self.dataset.registration_cfg.K = self._curriculum_K()
+            for _ in range(n):
+                idx = int(self.rng.integers(0, len(self.dataset)))
+                frames, info = self.dataset[idx]
+                yield build_registration_batch(
+                    frames, info, self.cfg.registration, self.pad_to,
+                    self.rng)
+        else:
+            bs = self.cfg.loop_detection.batch_size
+            for _ in range(n):
+                pairs = [self.dataset[int(self.rng.integers(0, len(self.dataset)))]
+                         for _ in range(bs)]
+                yield build_loop_batch(pairs,
+                                       self.cfg.loop_detection.distance,
+                                       self.pad_to)
+
+    def train_one_epoch(self) -> None:
+        rec = Recorder()
+        t0 = time.time()
+        log_cycle = int(self.cfg.get("log_cycle", 50))
+        for i, batch in enumerate(self._iter_batches()):
+            self.state, metrics = self.train_step(self.state, batch)
+            self.step += 1
+            rec.add_dict({k: float(v) for k, v in metrics.items()})
+            if (i + 1) % log_cycle == 0:
+                summary = rec.summary()
+                summary.update(epoch=self.epoch, step=self.step,
+                               stage=self.stage,
+                               sec_per_step=(time.time() - t0) / (i + 1))
+                self._metrics_file.write(json.dumps(summary) + "\n")
+                self._metrics_file.flush()
+                logger.info("epoch %d step %d %s", self.epoch, self.step,
+                            {k: round(v, 4) for k, v in summary.items()})
+        logger.info("epoch %d done in %.1fs: %s", self.epoch,
+                    time.time() - t0,
+                    {k: round(v, 4) for k, v in rec.summary().items()})
+
+    # -------------------------------------------------------- checkpoint
+    def save(self, final: bool = False) -> None:
+        """Checkpoint params/opt-state/epoch/step (reference:
+        trainer.py:210-233); final save is weights-only."""
+        params = (self.state.enc_params, self.state.dec_params)
+        if final:
+            save_weights(os.path.join(self.log_dir, "weights_final.msgpack"),
+                         *params)
+            return
+        blob = {
+            "enc_params": jax.tree.map(np.asarray, params[0]),
+            "dec_params": jax.tree.map(np.asarray, params[1]),
+            "opt_state": jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                self.state.opt_state),
+            "epoch": self.epoch,
+            "step": self.step,
+            "stage": self.stage,
+        }
+        path = os.path.join(self.log_dir, f"checkpoint_ep{self.epoch}.ckpt")
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+        logger.info("saved checkpoint %s", path)
+
+    def load_checkpoint(self, path: str) -> None:
+        """Resume training (reference: trainer.py:250-293)."""
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.epoch = blob["epoch"]
+        self.step = blob["step"]
+        self.stage = blob["stage"]
+        self._params = (blob["enc_params"], blob["dec_params"])
+        self._setup_stage()
+        # restore optimizer state unless we are exactly at the stage
+        # boundary (the reference deliberately re-inits there,
+        # trainer.py:272-291)
+        at_boundary = (self.stage == 1
+                       and self.epoch == self.stage_epochs[0])
+        if not at_boundary and blob.get("opt_state") is not None:
+            self.state = TrainState(self._params[0], self._params[1],
+                                    blob["opt_state"], np.int32(self.step))
+
+    def load_weight(self, path: str) -> None:
+        """Weights-only load; fresh optimizer
+        (reference: trainer.py:295-311)."""
+        from deeppointmap_tpu.pipeline.common import load_weights
+
+        _, _, enc_params, dec_params = load_weights(self.args, path)
+        self._params = (enc_params, dec_params)
+        self._setup_stage()

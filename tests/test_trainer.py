@@ -1,0 +1,133 @@
+"""Training-stack smoke test: synthetic dataset -> SlamDatasets sampler ->
+host batch building -> jitted train steps (both stages) on CPU."""
+
+import os
+
+import numpy as np
+import pytest
+
+from deeppointmap_tpu.config import Config
+
+
+def make_synthetic_dataset(root, n_frames=8, n_points=300, rng=None):
+    """Mini npz scene: straight-line trajectory of small random clouds."""
+    rng = rng or np.random.default_rng(0)
+    agent_dir = os.path.join(root, "scene0", "0")
+    os.makedirs(agent_dir, exist_ok=True)
+    for i in range(n_frames):
+        xyz = rng.normal(0, 5, size=(n_points, 3)).astype(np.float32)
+        R = np.eye(3, dtype=np.float32)
+        T = np.array([[i * 2.0], [0.0], [0.0]], np.float32)
+        np.savez(os.path.join(agent_dir, f"{i}.npz"),
+                 lidar_pcd=xyz, ego_rotation=R, ego_translation=T)
+
+
+def train_args(root):
+    return Config(
+        dataset=[dict(name="synthetic", root=root, scenes=["scene0"],
+                      reader=dict(type="npz"))],
+        transforms={
+            "CoordinatesNormalization": {"ratio": 60.0},
+            "ToTensor": {"padding_to": -1},
+        },
+        encoder=dict(npoint=[64, 32, 16],
+                     radius_list=[[0.05, 0.1], [0.1, 0.2], [0.2, 0.4]],
+                     nsample_list=[[8, 8], [8, 8], [8, 8]],
+                     in_channel=3, out_channel=16, width=8, expansion=4,
+                     upsample_layers=2, sample=[{"type": "fps"}] * 3,
+                     norm="LN", bias=True),
+        decoder=dict(in_channel=16, model_channel=32, attention_layers=1),
+        loss=dict(tau=0.1, offset_value="euclidean", eps_positive=1.0,
+                  eps_offset=2.0, lambda_p=1.0, lambda_c=1.0, lambda_o=1.0),
+        slam_system=dict(coor_scale=60),
+        train=dict(
+            auto_cast=False, save_cycle=100, log_cycle=1,
+            registration=dict(num_epochs=1, batch_size=1, K=3, K_0=2,
+                              K_mult=2, mult_epoch=100, K_max=4, fill=True,
+                              distance=10.0, map_size_max=2, max_pairs=64,
+                              optimizer=dict(type="adamw",
+                                             kwargs=dict(lr=1e-4)),
+                              scheduler=dict(type="identity")),
+            loop_detection=dict(num_epochs=1, batch_size=2, distance=8.0,
+                                optimizer=dict(type="adam",
+                                               kwargs=dict(lr=1e-4)),
+                                scheduler=dict(type="cosine",
+                                               kwargs=dict(eta_min=0)))),
+        tpu=dict(encoder_points=512, reg_buckets=[64, 128],
+                 loop_batch_buckets=[1, 2, 4], bf16=False),
+        infer_tgt="", weight="", checkpoint="",
+    )
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth_ds"))
+    make_synthetic_dataset(root)
+    args = train_args(root)
+    args.infer_tgt = str(tmp_path_factory.mktemp("train_log"))
+
+    from deeppointmap_tpu.data.dataset import SlamDatasets
+    from deeppointmap_tpu.data.transforms import PointCloudTransforms
+
+    rng = np.random.default_rng(0)
+    tfs = PointCloudTransforms(args, mode="train", rng=rng)
+
+    # training transforms return Scan objects (padding happens in
+    # batching); drop the final ToTensor for the sampler
+    tfs.transforms.transforms = tfs.transforms.transforms[:-1]
+    ds = SlamDatasets(args, data_transforms=tfs, rng=rng)
+    return args, ds, rng
+
+
+def test_dataset_sampling(setup):
+    args, ds, rng = setup
+    assert len(ds) == 8
+    frames, info = ds[3]
+    assert len(frames) == info["num_map"] * (len(frames) // info["num_map"])
+    assert len(info["dsf_index"]) == len(frames)
+
+    ds.loop_detection()
+    a, b = ds[2]
+    assert a.xyz.shape[1] == 3 and b.xyz.shape[1] == 3
+    ds.registration()
+
+
+def test_registration_batch_and_step(setup):
+    args, ds, rng = setup
+    from deeppointmap_tpu.pipeline.batching import build_registration_batch
+    frames, info = ds[2]
+    batch = build_registration_batch(frames, info, args.train.registration,
+                                     pad_to=512, rng=rng)
+    B = info["num_map"]
+    S = len(frames) // B
+    assert batch.points.shape == (B, S, 512, 3)
+    assert batch.group_id.shape == (B, S)
+    assert np.all(np.isfinite(batch.gt_R)) and np.all(np.isfinite(batch.gt_t))
+    # group 0 and 1 both present
+    assert set(np.unique(batch.group_id)) == {0, 1}
+
+
+def test_trainer_two_stages(setup):
+    args, ds, rng = setup
+    from deeppointmap_tpu.pipeline.common import init_params
+    from deeppointmap_tpu.pipeline.trainer import Trainer
+
+    enc, dec, enc_params, dec_params = init_params(args, seed=0)
+    # shrink epochs to a couple of steps for speed
+    trainer = Trainer(args, ds, enc, dec, enc_params, dec_params, rng=rng)
+    trainer._steps_per_epoch_orig = trainer._steps_per_epoch
+    trainer._steps_per_epoch = lambda: 2
+    trainer._setup_stage()
+
+    trainer.run()
+    assert trainer.step >= 4  # 2 stage-1 + 2 stage-2 steps
+    assert trainer.stage == 2
+    # metrics were written
+    assert os.path.getsize(os.path.join(trainer.log_dir,
+                                        "metrics.jsonl")) > 0
+    # final weights saved and loadable
+    wpath = os.path.join(trainer.log_dir, "weights_final.msgpack")
+    assert os.path.exists(wpath)
+    from deeppointmap_tpu.pipeline.common import load_weights
+    _, _, ep, dp = load_weights(args, wpath)
+    assert "params" in ep and "params" in dp
