@@ -82,6 +82,33 @@ def knn(
     return idx.reshape(s, k), dist2.reshape(s, k)
 
 
+def ball_query(
+    points: jnp.ndarray,        # (N, 3)
+    centers: jnp.ndarray,       # (S, 3)
+    k: int,
+    radius: float,
+    points_valid: jnp.ndarray,  # (N,) bool
+    center_chunk: int = 2048,
+) -> jnp.ndarray:
+    """First-k-within-radius semantics (reference python fallback:
+    network/encoder/utils.py:57-73): neighbors are the k lowest-INDEX
+    valid points inside the ball; out-of-ball slots repeat the first
+    in-ball neighbor. Returns idx (S, k) int32.
+
+    Implemented as top-k over (in_ball, -index) lexicographic scores so
+    shapes stay static."""
+    n = points.shape[0]
+    d2 = _masked_dist2(centers, points, points_valid)
+    in_ball = d2 <= (radius * radius)
+    # score: in-ball points rank above all others, ties by ascending index
+    idx_f = jnp.arange(n, dtype=jnp.float32)
+    score = jnp.where(in_ball, -idx_f, -jnp.float32(2 * n) - idx_f)
+    _, idx = jax.lax.top_k(score, k)                       # (S, k)
+    first = idx[:, :1]
+    picked_in = jnp.take_along_axis(in_ball, idx, axis=1)
+    return jnp.where(picked_in, idx, first).astype(jnp.int32)
+
+
 def hybrid_query(
     points: jnp.ndarray,        # (N, 3)
     centers: jnp.ndarray,       # (S, 3)

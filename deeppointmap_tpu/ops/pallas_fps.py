@@ -42,24 +42,32 @@ def _fps_kernel(start_ref, xyz_ref, mind0_ref, out_ref, mind_ref):
     y = xyz_ref[0, 1:2, :]
     z = xyz_ref[0, 2:3, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
 
     mind_ref[:] = jnp.where(lane == first, jnp.float32(_NEG),
                             mind0_ref[0, :, :])
-    out_ref[0, 0, 0] = first
+    # Mosaic has no scalar VMEM stores: carry the output row through the
+    # loop as a vector and masked-merge one slot per iteration
+    out0 = jnp.where(out_col == 0, first, jnp.int32(0))
 
-    def body(i, last):
-        px = x[0, last]
-        py = y[0, last]
-        pz = z[0, last]
+    def body(i, carry):
+        last, out_vec = carry
+        # dynamic scalar gathers don't lower on TPU Pallas: read the
+        # selected point's coords via a masked reduction instead
+        sel = (lane == last).astype(jnp.float32)
+        px = jnp.sum(x * sel)
+        py = jnp.sum(y * sel)
+        pz = jnp.sum(z * sel)
         d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
         mind = jnp.minimum(mind_ref[:], d)
         mind = jnp.where(lane == last, jnp.float32(_NEG), mind)
         mind_ref[:] = mind
         nxt = jnp.argmax(mind[0, :]).astype(jnp.int32)
-        out_ref[0, 0, i] = nxt
-        return nxt
+        out_vec = jnp.where(out_col == i, nxt, out_vec)
+        return nxt, out_vec
 
-    jax.lax.fori_loop(1, k, body, first)
+    _, out_vec = jax.lax.fori_loop(1, k, body, (first, out0))
+    out_ref[0, :, :] = out_vec
 
 
 def _round_up(v: int, m: int) -> int:

@@ -37,7 +37,8 @@ def farthest_point_sampling(
     selected indices and are masked out in sel_valid.
     """
     n = xyz.shape[0]
-    xyz = xyz.astype(jnp.float32)
+    xyz = jnp.asarray(xyz, jnp.float32)
+    valid = jnp.asarray(valid)
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
     # first valid point (index 0 if point 0 is valid -- the common case)

@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import logging
 import os
-import queue
-import threading
 import time
 
 import numpy as np
@@ -51,26 +49,28 @@ def make_infer_transform(args):
     return run
 
 
-def prefetch(dataset, n_buffer: int = 4):
-    """Background-thread prefetch iterator (overlaps preprocessing with
-    device compute)."""
-    q: "queue.Queue" = queue.Queue(maxsize=n_buffer)
-    stop = object()
+def prefetch(dataset, n_buffer: int = 8, n_workers: int = 4):
+    """Parallel order-preserving prefetch: host preprocessing (~200 ms of
+    NumPy/scipy per scan, GIL-released) runs on a thread pool while the
+    device computes (the reference uses torch DataLoader workers,
+    infer.py:98)."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    def worker():
-        try:
-            for item in dataset:
-                q.put(item)
-        finally:
-            q.put(stop)
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        yield item
+    n = len(dataset)
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        futures = []
+        head = 0
+        for i in range(min(n_buffer, n)):
+            futures.append(pool.submit(dataset.__getitem__, i))
+        next_submit = len(futures)
+        while head < n:
+            item = futures[head].result()
+            futures[head] = None  # free memory
+            head += 1
+            if next_submit < n:
+                futures.append(pool.submit(dataset.__getitem__, next_submit))
+                next_submit += 1
+            yield item
 
 
 def run_sequence(args, engine, seq_root: str, out_dir: str,

@@ -73,9 +73,30 @@ class Trainer:
         os.makedirs(self.log_dir, exist_ok=True)
         self._metrics_file = open(
             os.path.join(self.log_dir, "metrics.jsonl"), "a")
+        self._snapshot_source()
 
         self._params = (enc_params, dec_params)
         self._setup_stage()
+
+    def _snapshot_source(self) -> None:
+        """Zip the package source into the run dir for reproducibility
+        (reference: trainer.py:67-71)."""
+        import zipfile
+
+        import deeppointmap_tpu
+
+        pkg_root = os.path.dirname(os.path.abspath(deeppointmap_tpu.__file__))
+        out = os.path.join(self.log_dir, "source_snapshot.zip")
+        try:
+            with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+                for root, _, files in os.walk(pkg_root):
+                    for f in files:
+                        if f.endswith(".py"):
+                            p = os.path.join(root, f)
+                            z.write(p, os.path.relpath(p,
+                                                       os.path.dirname(pkg_root)))
+        except OSError as e:
+            logger.warning("source snapshot failed: %s", e)
 
     # ------------------------------------------------------------- stage
     def _steps_per_epoch(self) -> int:

@@ -569,6 +569,18 @@ class PoseGraph:
                 out.add_edge(e)
         return out
 
+    def to_networkx(self):
+        """Export as a networkx.Graph (reference: pose_graph.py:809-819)."""
+        import networkx as nx
+
+        g = nx.Graph()
+        for s in self.get_all_scans():
+            g.add_node(s.token, ntype=s.type, ncoor=s.coor_sys,
+                       agentid=s.agent_id, timestep=s.timestep)
+        for e in self.get_all_edges():
+            g.add_edge(e.src_scan_token, e.dst_scan_token, etype=e.type)
+        return g
+
     def to_g2o_file(self, file_name: str) -> None:
         """g2o export (reference: pose_graph.py:821-842)."""
         from scipy.spatial.transform import Rotation

@@ -216,3 +216,39 @@ class TestInfoMat:
             jnp.eye(3, dtype=np.float32), np.zeros(3, dtype=np.float32)))
         assert np.allclose(got, got.T, atol=1e-3)
         assert np.linalg.eigvalsh(got).min() > -1e-3
+
+
+class TestBallQuery:
+    def test_first_k_within_radius(self):
+        import jax.numpy as jnp
+        from deeppointmap_tpu.ops.neighbors import ball_query
+
+        rng = np.random.default_rng(5)
+        pts = jnp.asarray(rng.uniform(-2, 2, size=(200, 3)).astype(np.float32))
+        centers = pts[:16]
+        valid = jnp.ones((200,), bool)
+        r, k = 1.0, 8
+        idx = np.asarray(ball_query(pts, centers, k, r, valid))
+        p = np.asarray(pts)
+        for s in range(16):
+            d2 = ((p - p[s]) ** 2).sum(1)
+            inside = np.nonzero(d2 <= r * r)[0]
+            expect = inside[:k]
+            got = idx[s]
+            # the first len(expect) entries are the lowest-index in-ball
+            # points ascending; the rest repeat the first
+            np.testing.assert_array_equal(np.sort(got[:len(expect)]),
+                                          expect if len(expect) >= k
+                                          else expect)
+            if len(inside) < k:
+                assert set(got[len(inside):].tolist()) == {got[0]}
+
+    def test_masked_points_excluded(self):
+        import jax.numpy as jnp
+        from deeppointmap_tpu.ops.neighbors import ball_query
+
+        pts = jnp.asarray(np.stack([np.linspace(0, 1, 50)] * 3, 1)
+                          .astype(np.float32))
+        valid = jnp.arange(50) < 25
+        idx = np.asarray(ball_query(pts, pts[:4], 6, 10.0, valid))
+        assert idx.max() < 25
