@@ -53,45 +53,40 @@ def _measure(q):
         tpu[k] = v
     args.tpu = tpu
 
-    # preprocess two real scans (host)
-    tf = PointCloudTransforms(args, mode="infer")
-    pad = int(args.tpu.encoder_points)
+    # host side: voxel downsample + pad only (the filter chain runs fused
+    # on-device inside the extract/odometry call)
+    from deeppointmap_tpu.pipeline.infer import (device_preprocess_config,
+                                                 make_infer_transform)
+
+    run_tf = make_infer_transform(args)
     scans = []
     for i in range(2):
         scan = read_auto(
             f"/root/reference/data/sample/seq06/velodyne/00000{i}.bin")
-        pts, R, T, valid, _ = tf(scan)
-        buf = np.zeros((pad, 3), np.float32)
-        v = np.zeros((pad,), bool)
-        n = min(pts.shape[0], pad)
-        buf[:n] = pts[:n]
-        v[:n] = True
-        scans.append((buf, v))
+        pts, R, T, valid, _ = run_tf(scan)
+        scans.append((pts[0], valid[0]))
 
     enc, dec, enc_params, dec_params = init_params(args, seed=0)
     engine = InferenceEngine(args, enc_params, dec_params,
-                             encoder=enc, decoder=dec)
+                             encoder=enc, decoder=dec,
+                             preprocess_cfg=device_preprocess_config(args))
 
-    # warm up / compile
-    descs = []
-    for buf, v in scans:
-        d, dv = engine.extract(buf[None], v[None])
-        descs.append((d[0], dv[0]))
-    SE3, conf, rmse = engine.register(descs[0][0], descs[0][1],
-                                      descs[1][0], descs[1][1], 0.5)
-    engine.compute_information_matrix(scans[0][0], scans[0][1],
-                                      scans[1][0], scans[1][1], SE3)
+    # warm up / compile: extraction once, then the fused odometry step
+    # (the per-frame production path: preprocess + extract + register +
+    # info matrix in ONE device call)
+    d0, dv0, pv0 = engine.extract(scans[0][0][None], scans[0][1][None])
+    cand_desc, cand_valid = d0[0], dv0[0]
+    cand_pcd, cand_pvalid = scans[0][0], pv0[0]
+    engine.odometry_step(scans[1][0][None], scans[1][1][None],
+                         cand_desc, cand_valid, cand_pcd, cand_pvalid,
+                         num_sample=0.5)
 
-    # steady state: full odometry step per scan
     n_iter = 20
     t0 = time.perf_counter()
     for i in range(n_iter):
         buf, v = scans[i % 2]
-        d, dv = engine.extract(buf[None], v[None])
-        SE3, conf, rmse = engine.register(descs[i % 2][0], descs[i % 2][1],
-                                          d[0], dv[0], 0.5)
-        engine.compute_information_matrix(scans[i % 2][0], scans[i % 2][1],
-                                          buf, v, SE3)
+        engine.odometry_step(buf[None], v[None], cand_desc, cand_valid,
+                             cand_pcd, cand_pvalid, num_sample=0.5)
     dt = (time.perf_counter() - t0) / n_iter
     q.put({"scans_per_sec": 1.0 / dt})
 

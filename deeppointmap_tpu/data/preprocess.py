@@ -1,0 +1,119 @@
+"""Fused on-device preprocessing for the inference hot path.
+
+Device-side twin of the host transform chain (data/transforms.py): the
+reference pipeline VoxelSample -> DistanceSample -> OutlierFilter ->
+LowPassFilter -> CoordinatesNormalization (reference: configs/infer/
+DeepPointMap_B_Main_SemanticKITTI.yaml:21-29) with everything after the
+voxel stage expressed as VALIDITY-MASK updates over a fixed-size padded
+array -- points are never physically removed, so the whole chain jit-fuses
+and can run inside the same device call as the encoder.
+
+Only the voxel downsample stays on the host (its output size is
+data-dependent and it is a cheap sort/unique over the raw scan).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deeppointmap_tpu.ops.neighbors import knn
+from deeppointmap_tpu.ops.normals import estimate_normals
+
+
+class PreprocessConfig(NamedTuple):
+    """Stages not present in the yaml chain are disabled (enable flags)."""
+
+    use_distance: bool = True
+    min_dis: float = 1.0
+    max_dis: float = 60.0
+    use_outlier: bool = True
+    outlier_neighbors: int = 10
+    outlier_std: float = 3.0
+    use_lowpass: bool = True
+    normals_radius: float = 0.5
+    normals_num: int = 16
+    lowpass_std: float = 2.0
+    lowpass_flux: int = 4
+    norm_ratio: float = 60.0
+
+    @classmethod
+    def from_transforms(cls, transforms: dict) -> "PreprocessConfig":
+        """Build from the yaml transforms tree (same keys the host chain
+        uses)."""
+        t = dict(transforms)
+        kw = {"use_distance": "DistanceSample" in t,
+              "use_outlier": "OutlierFilter" in t,
+              "use_lowpass": "LowPassFilter" in t}
+        if kw["use_distance"]:
+            kw["min_dis"] = t["DistanceSample"]["min_dis"]
+            kw["max_dis"] = t["DistanceSample"]["max_dis"]
+        if kw["use_outlier"]:
+            kw["outlier_neighbors"] = t["OutlierFilter"]["nb_neighbors"]
+            kw["outlier_std"] = t["OutlierFilter"]["std_ratio"]
+        if kw["use_lowpass"]:
+            lp = t["LowPassFilter"]
+            kw["normals_radius"] = lp["normals_radius"]
+            kw["normals_num"] = lp["normals_num"]
+            kw["lowpass_std"] = lp["filter_std"]
+            kw["lowpass_flux"] = lp["flux"]
+        if "CoordinatesNormalization" in t:
+            kw["norm_ratio"] = t["CoordinatesNormalization"]["ratio"]
+        else:
+            kw["norm_ratio"] = 1.0
+        return cls(**kw)
+
+
+def _masked_mean_std(x, mask):
+    m = mask.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(x * m) / n
+    var = jnp.sum(((x - mean) ** 2) * m) / n
+    return mean, jnp.sqrt(var)
+
+
+def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
+               cfg: PreprocessConfig):
+    """(P, 3) raw-meter points + validity -> (normalized points, validity).
+
+    Mask-update equivalents of (reference file:line):
+      distance crop      transforms.py:387-397
+      statistical outlier removal   transforms.py:230-253
+      normal-coherence low-pass     transforms.py:256-297
+      coordinate normalization      transforms.py:400-407
+    """
+    pts = points.astype(jnp.float32)
+
+    if cfg.use_distance:
+        dist = jnp.linalg.norm(pts, axis=1)
+        valid = valid & (dist >= cfg.min_dis) & (dist <= cfg.max_dis)
+
+    if cfg.use_outlier:
+        # statistical outlier: mean distance to k nearest survivors
+        k_out = cfg.outlier_neighbors + 1
+        _, d2 = knn(pts, pts, k_out, valid)
+        mean_d = jnp.mean(jnp.sqrt(jnp.maximum(d2[:, 1:], 0.0)), axis=1)
+        mu, sd = _masked_mean_std(mean_d, valid)
+        valid = valid & (mean_d <= mu + cfg.outlier_std * sd)
+
+    if cfg.use_lowpass:
+        # low-pass: top-flux neighbor-normal coherence
+        normals = estimate_normals(pts, valid, cfg.normals_radius)
+        idx, _ = knn(pts, pts, cfg.normals_num + 1, valid)
+        nbr_n = jnp.take(normals, idx[:, 1:], axis=0)        # (P, K, 3)
+        sim = jnp.abs(jnp.einsum("pkc,pc->pk", nbr_n, normals,
+                                 preferred_element_type=jnp.float32))
+        top, _ = jax.lax.top_k(sim, cfg.lowpass_flux)
+        s = jnp.sum(top, axis=1)
+        mu_s, sd_s = _masked_mean_std(s, valid)
+        valid = valid & (s > mu_s - cfg.lowpass_std * sd_s)
+
+    return pts / cfg.norm_ratio, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def preprocess_jit(points, valid, cfg: PreprocessConfig):
+    return preprocess(points, valid, cfg)

@@ -26,6 +26,26 @@ import jax.numpy as jnp
 
 _BIG = jnp.float32(1e9)
 
+#: When True and running on TPU, neighbor top-k uses the hardware
+#: PartialReduce op (jax.lax.approx_max_k, recall ~0.95) instead of a full
+#: sort -- ~10x cheaper at production sizes. Max-pooled set abstraction is
+#: robust to occasional missed neighbors (the reference's pytorch3d path
+#: returns UNSORTED neighbors already, network/encoder/utils.py:95).
+#: Exact top_k is always used on CPU so oracle tests stay bit-exact.
+APPROX_TOPK_ON_TPU = True
+
+
+def _neighbor_topk(d2: jnp.ndarray, k: int):
+    """Smallest-k along the last axis -> (idx int32, dist2)."""
+    if k == 1:
+        idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)[:, None]
+        return idx, jnp.take_along_axis(d2, idx, axis=-1)
+    if APPROX_TOPK_ON_TPU and jax.default_backend() == "tpu":
+        neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+    else:
+        neg, idx = jax.lax.top_k(-d2, k)
+    return idx.astype(jnp.int32), -neg
+
 
 def pairwise_dist2(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     """Squared euclidean distances (S, N) = |s|^2 - 2 s.d + |d|^2.
@@ -66,19 +86,13 @@ def knn(
     """
     s = centers.shape[0]
     if s <= center_chunk:
-        d2 = _masked_dist2(centers, points, points_valid)
-        neg, idx = jax.lax.top_k(-d2, k)
-        return idx.astype(jnp.int32), -neg
+        return _neighbor_topk(_masked_dist2(centers, points, points_valid), k)
 
     assert s % center_chunk == 0, (s, center_chunk)
     chunks = centers.reshape(s // center_chunk, center_chunk, 3)
-
-    def body(c):
-        d2 = _masked_dist2(c, points, points_valid)
-        neg, idx = jax.lax.top_k(-d2, k)
-        return idx.astype(jnp.int32), -neg
-
-    idx, dist2 = jax.lax.map(body, chunks)
+    idx, dist2 = jax.lax.map(
+        lambda c: _neighbor_topk(_masked_dist2(c, points, points_valid), k),
+        chunks)
     return idx.reshape(s, k), dist2.reshape(s, k)
 
 

@@ -30,23 +30,69 @@ from deeppointmap_tpu.slam.system import SlamSystem
 logger = logging.getLogger("deeppointmap_tpu.infer")
 
 
+_DEVICE_CHAIN_KEYS = {"VoxelSample", "ToGPU", "ToCPU", "DistanceSample",
+                      "OutlierFilter", "LowPassFilter",
+                      "CoordinatesNormalization", "ToTensor"}
+
+
+def device_preprocess_config(args):
+    """PreprocessConfig when the yaml transform chain is the standard
+    inference chain and device preprocessing is enabled; None -> host
+    chain."""
+    if not args.tpu.get("device_preprocess", True):
+        return None
+    if not set(dict(args.transforms)) <= _DEVICE_CHAIN_KEYS:
+        return None
+    from deeppointmap_tpu.data.preprocess import PreprocessConfig
+
+    return PreprocessConfig.from_transforms(dict(args.transforms))
+
+
 def make_infer_transform(args):
-    """Infer-mode preprocessing returning padded fixed-shape arrays."""
-    tf = PointCloudTransforms(args, mode="infer")
+    """Infer-mode preprocessing returning padded fixed-shape arrays.
+
+    Host mode: the full transform chain runs here (~200 ms/scan of
+    NumPy/scipy). Device mode (default for the standard chain): only the
+    voxel downsample runs on the host; distance/outlier/lowpass/normalize
+    run fused on-device inside the extract call (data/preprocess.py), so
+    this returns RAW-METER points."""
     pad = infer_padding(args)
+    dev_cfg = device_preprocess_config(args)
 
-    def run(scan):
-        pts, R, T, valid, original = tf(scan)
-        if pts.shape[0] < pad or pts.shape[0] > pad:
-            padded = np.zeros((pad, 3), np.float32)
-            v = np.zeros((pad,), bool)
-            n = min(pts.shape[0], pad)
-            padded[:n] = pts[:n]
-            v[:n] = True
-            pts, valid = padded, v
-        return pts[None], R, T, valid[None], original
+    if dev_cfg is None:
+        tf = PointCloudTransforms(args, mode="infer")
 
-    return run
+        def run(scan):
+            pts, R, T, valid, original = tf(scan)
+            if pts.shape[0] != pad:
+                padded = np.zeros((pad, 3), np.float32)
+                v = np.zeros((pad,), bool)
+                n = min(pts.shape[0], pad)
+                padded[:n] = pts[:n]
+                v[:n] = True
+                pts, valid = padded, v
+            return pts[None], R, T, valid[None], original
+
+        return run
+
+    from deeppointmap_tpu.data.voxel import voxel_downsample_indices
+
+    vox = dict(args.transforms).get("VoxelSample", {})
+    voxel_size = vox.get("voxel_size", 0.3)
+    retention = vox.get("retention", "first")
+
+    def run_device(scan):
+        original = scan.xyz.copy()
+        keep = voxel_downsample_indices(scan.xyz, voxel_size, retention)
+        xyz = scan.xyz[keep]
+        padded = np.zeros((pad, 3), np.float32)
+        v = np.zeros((pad,), bool)
+        n = min(xyz.shape[0], pad)
+        padded[:n] = xyz[:n]
+        v[:n] = True
+        return padded[None], scan.rotation, scan.translation, v[None], original
+
+    return run_device
 
 
 def prefetch(dataset, n_buffer: int = 8, n_workers: int = 4):
@@ -120,7 +166,8 @@ def main(argv=None):
     engine_models = build_models(args, args.weight)
     enc, dec, enc_params, dec_params = engine_models
     engine = InferenceEngine(args, enc_params, dec_params,
-                             encoder=enc, decoder=dec)
+                             encoder=enc, decoder=dec,
+                             preprocess_cfg=device_preprocess_config(args))
 
     os.makedirs(args.infer_tgt, exist_ok=True)
     save_settings(args, os.path.join(args.infer_tgt, "settings.yaml"))

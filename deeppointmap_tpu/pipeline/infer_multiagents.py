@@ -20,7 +20,8 @@ import os
 from deeppointmap_tpu.config import load_config, save_settings
 from deeppointmap_tpu.data.dataset import BasicAgent
 from deeppointmap_tpu.pipeline.common import build_models
-from deeppointmap_tpu.pipeline.infer import make_infer_transform, prefetch
+from deeppointmap_tpu.pipeline.infer import (device_preprocess_config,
+                                              make_infer_transform, prefetch)
 from deeppointmap_tpu.slam.engine import InferenceEngine
 from deeppointmap_tpu.slam.system import AgentSystem, CloudSystem
 from deeppointmap_tpu.slam.utils import CommModule
@@ -39,7 +40,8 @@ def main(argv=None):
 
     enc, dec, enc_params, dec_params = build_models(args, args.weight)
     engine = InferenceEngine(args, enc_params, dec_params,
-                             encoder=enc, decoder=dec)
+                             encoder=enc, decoder=dec,
+                             preprocess_cfg=device_preprocess_config(args))
 
     os.makedirs(args.infer_tgt, exist_ok=True)
     save_settings(args, os.path.join(args.infer_tgt, "settings.yaml"))

@@ -43,8 +43,18 @@ class InferenceEngine:
 
     def __init__(self, args, enc_params, dec_params,
                  encoder: Optional[Encoder] = None,
-                 decoder: Optional[Decoder] = None):
+                 decoder: Optional[Decoder] = None,
+                 preprocess_cfg=None):
+        from deeppointmap_tpu.utils.compilation_cache import \
+            enable_compilation_cache
+
+        enable_compilation_cache()
         self.args = args
+        #: when set, extract/odometry take RAW-METER padded points and the
+        #: filter chain (distance/outlier/lowpass/normalize) runs fused
+        #: on-device (data/preprocess.py); when None, inputs are already
+        #: host-preprocessed normalized points
+        self.preprocess_cfg = preprocess_cfg
         self.coor_scale = float(args.slam_system.coor_scale)
         tpu = args.get("tpu") or {}
         self.reg_buckets = tuple(tpu.get("reg_buckets", DEFAULT_REG_BUCKETS))
@@ -60,20 +70,37 @@ class InferenceEngine:
                                     static_argnames=("num_pairs",))
         self._loop_fn = jax.jit(self._loop_impl)
         self._info_fn = jax.jit(self._info_impl)
+        self._odometry_fn = jax.jit(self._odometry_impl,
+                                    static_argnames=("num_pairs",))
+        # encoder output token count: coords of the FP target level
+        e = args.encoder
+        self.n_tokens = int(e.npoint[len(e.npoint) - 1 - e.upsample_layers])
 
     # ------------------------------------------------------------ extract
+    def _maybe_preprocess(self, points, valid):
+        """Fused device-side filter chain (no-op when host-preprocessed).
+        Returns (normalized points, filtered validity)."""
+        if self.preprocess_cfg is None:
+            return points, valid
+        from deeppointmap_tpu.data.preprocess import preprocess
+
+        return jax.vmap(
+            lambda p, v: preprocess(p, v, self.preprocess_cfg))(points, valid)
+
     def _extract_impl(self, points, valid):
+        pts_n, pts_valid = self._maybe_preprocess(points, valid)
         coor, fea, out_valid = self.encoder.apply(self.enc_params,
-                                                  points, valid)
+                                                  pts_n, pts_valid)
         # descriptor = [features, xyz * coor_scale] (meters)
         # (reference: system/modules/odometry.py:47-49)
         desc = jnp.concatenate([fea, coor * self.coor_scale], axis=-1)
-        return desc, out_valid
+        return desc, out_valid, pts_valid
 
-    def extract(self, points: np.ndarray, valid: np.ndarray
-                ) -> Tuple[np.ndarray, np.ndarray]:
-        """points (B, P, 3) normalized coords -> descriptors (B, K, C+3)
-        with xyz in meters, + validity (B, K). Batch padded to a bucket."""
+    def extract(self, points: np.ndarray, valid: np.ndarray):
+        """points (B, P, 3) -> (descriptors (B, K, C+3) with xyz in
+        meters, descriptor validity (B, K), filtered point validity
+        (B, P)). Batch padded to a bucket. Input coords are normalized,
+        or raw meters when device preprocessing is enabled."""
         b = points.shape[0]
         bb = _bucket(b, self.batch_buckets)
         if bb != b:
@@ -81,9 +108,10 @@ class InferenceEngine:
                 [points, np.zeros((bb - b, *points.shape[1:]), points.dtype)], 0)
             valid = np.concatenate(
                 [valid, np.zeros((bb - b, valid.shape[1]), bool)], 0)
-        desc, out_valid = self._extract_fn(jnp.asarray(points),
-                                           jnp.asarray(valid))
-        return np.asarray(desc)[:b], np.asarray(out_valid)[:b]
+        desc, out_valid, pts_valid = self._extract_fn(jnp.asarray(points),
+                                                      jnp.asarray(valid))
+        return (np.asarray(desc)[:b], np.asarray(out_valid)[:b],
+                np.asarray(pts_valid)[:b])
 
     # --------------------------------------------------------- register
     def _register_impl(self, src, dst, sv, dv, num_pairs, num_pairs_actual):
@@ -129,6 +157,83 @@ class InferenceEngine:
         SE3[:3, :3] = np.asarray(R, np.float64)
         SE3[:3, 3] = np.asarray(t, np.float64)
         return SE3, float(conf), float(rmse)
+
+    # --------------------------------------- fused register + info matrix
+    def _register_info_impl(self, src, dst, sv, dv, src_pcd, spv, dst_pcd,
+                            dpv, num_pairs, num_pairs_actual):
+        R, t, conf, rmse, n_in = self.decoder.apply(
+            self.dec_params, src, dst, sv, dv, num_pairs, num_pairs_actual,
+            method=Decoder.registration)
+        info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t)
+        return R, t, conf, rmse, info
+
+    def register_with_info(self, src_desc, src_valid, dst_desc, dst_valid,
+                           src_pcd, src_pvalid, dst_pcd, dst_pvalid,
+                           num_sample=0.5):
+        """Registration + 6x6 information matrix in one device call
+        (used by odometry/mapping/loop edges -- the reference computes
+        them back-to-back at odometry.py:108-115, mapping.py:152-159,
+        loop_closure.py:240-247)."""
+        m_real = int(src_valid.sum())
+        n_real = int(dst_valid.sum())
+        src, sv, mb = self._pad_tokens(src_desc, src_valid)
+        dst, dv, nb = self._pad_tokens(dst_desc, dst_valid)
+        k_static = num_pairs_for(mb, nb, num_sample)
+        k_actual = num_pairs_for(min(m_real, mb), min(n_real, nb), num_sample)
+        if not hasattr(self, "_reg_info_fn"):
+            self._reg_info_fn = jax.jit(self._register_info_impl,
+                                        static_argnames=("num_pairs",))
+        R, t, conf, rmse, info = self._reg_info_fn(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(sv),
+            jnp.asarray(dv), jnp.asarray(src_pcd), jnp.asarray(src_pvalid),
+            jnp.asarray(dst_pcd), jnp.asarray(dst_pvalid),
+            num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
+        SE3 = np.eye(4)
+        SE3[:3, :3] = np.asarray(R, np.float64)
+        SE3[:3, 3] = np.asarray(t, np.float64)
+        return SE3, float(conf), float(rmse), np.asarray(info, np.float64)
+
+    # ------------------------------------------------- fused odometry step
+    def _odometry_impl(self, points, valid, cand_desc, cand_kvalid,
+                       cand_pcd, cand_pvalid, num_pairs, num_pairs_actual):
+        desc, dvalid, pts_valid = self._extract_impl(points, valid)
+        R, t, conf, rmse, n_in = self.decoder.apply(
+            self.dec_params, cand_desc, desc[0], cand_kvalid, dvalid[0],
+            num_pairs, num_pairs_actual, method=Decoder.registration)
+        if self.preprocess_cfg is None:
+            new_pcd = points[0] * self.coor_scale
+        else:
+            new_pcd = points[0]  # already meters in raw mode
+        info = information_matrix(cand_pcd, cand_pvalid, new_pcd,
+                                  pts_valid[0], R, t)
+        return desc, dvalid, pts_valid, R, t, conf, rmse, info
+
+    def odometry_step(self, points: np.ndarray, valid: np.ndarray,
+                      cand_desc, cand_kvalid, cand_pcd, cand_pvalid,
+                      num_sample=0.5):
+        """Extraction + registration-against-candidate + information
+        matrix fused into ONE device call (a synchronous dispatch through
+        this machine's TPU tunnel costs ~28 ms regardless of work, so the
+        per-frame hot path must minimize round-trips).
+
+        points (1, P, 3) normalized (or raw meters in device-preprocess
+        mode); candidate arrays unpadded. Returns (descriptors
+        (1, K, C+3), desc_valid, filtered point validity (1, P), SE3
+        (4,4) with new = SE3 @ cand, confidence, rmse, info (6,6))."""
+        m_real = int(cand_kvalid.sum())
+        src, sv, mb = self._pad_tokens(cand_desc, cand_kvalid)
+        n_tok = self.n_tokens
+        k_static = num_pairs_for(mb, n_tok, num_sample)
+        k_actual = num_pairs_for(min(m_real, mb), n_tok, num_sample)
+        desc, dvalid, pts_valid, R, t, conf, rmse, info = self._odometry_fn(
+            jnp.asarray(points), jnp.asarray(valid), jnp.asarray(src),
+            jnp.asarray(sv), jnp.asarray(cand_pcd), jnp.asarray(cand_pvalid),
+            num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
+        SE3 = np.eye(4)
+        SE3[:3, :3] = np.asarray(R, np.float64)
+        SE3[:3, 3] = np.asarray(t, np.float64)
+        return (np.asarray(desc), np.asarray(dvalid), np.asarray(pts_valid),
+                SE3, float(conf), float(rmse), np.asarray(info, np.float64))
 
     # ------------------------------------------------------ loop scoring
     def _loop_impl(self, src, dst, sv, dv):

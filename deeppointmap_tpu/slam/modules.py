@@ -36,9 +36,9 @@ class ExtractionModule:
         self.posegraph_map = posegraph_map
         self.engine = engine
 
-    def process(self, points: np.ndarray, valid: np.ndarray
-                ) -> Tuple[np.ndarray, np.ndarray]:
-        """points (B, P, 3) normalized -> (descriptors (B, K, C+3), valid)."""
+    def process(self, points: np.ndarray, valid: np.ndarray):
+        """points (B, P, 3) -> (descriptors (B, K, C+3), desc validity,
+        filtered point validity)."""
         return self.engine.extract(points, valid)
 
 
@@ -53,12 +53,17 @@ class OdometryModule:
         self.posegraph_map = posegraph_map
         self.engine = engine
 
-    def search_candidates(self, new_scan: ScanPack) -> List[ScanPack]:
+    def search_candidates(self, new_scan=None, agent_id: int = None
+                          ) -> List[ScanPack]:
         """Graph-BFS keyframes near the last pose, top-k by distance
-        (reference: odometry.py:76-101)."""
+        (reference: odometry.py:76-101). Depends only on the pose graph,
+        NOT on the new scan's content, so it can run before extraction
+        (enabling the fused extract+register device call)."""
+        if agent_id is None:
+            agent_id = new_scan.agent_id
         pg = self.posegraph_map
         agents = {s.agent_id for s in pg.get_all_scans()}
-        if (not pg.vertex or new_scan.agent_id not in agents
+        if (not pg.vertex or agent_id not in agents
                 or pg.last_known_keyframe is None
                 or pg.last_known_anyframe is None):
             return []
@@ -68,7 +73,7 @@ class OdometryModule:
         key_frames = [s for s in pg.graph_search(
             last_scan.token, neighbor_level=5, coor_sys=last_scan.coor_sys,
             edge_type=["odom", "loop"])
-            if s.type != "non-keyframe" and s.agent_id == new_scan.agent_id]
+            if s.type != "non-keyframe" and s.agent_id == agent_id]
         if not key_frames:
             return []
         d = np.array([np.linalg.norm(s.SE3_pred[:3, 3] - last_SE3[:3, 3])
@@ -87,13 +92,12 @@ class OdometryModule:
         ss = self.args.slam_system
         edges = []
         for cand in candidates:
-            SE3, conf, rmse = self.engine.register(
+            SE3, conf, rmse, info = self.engine.register_with_info(
                 cand.key_points, cand.key_valid,
                 new_scan.key_points, new_scan.key_valid,
-                num_sample=ss.registration_sample_odometer)
-            info = self.engine.compute_information_matrix(
                 cand.full_pcd, cand.full_valid,
-                new_scan.full_pcd, new_scan.full_valid, SE3)
+                new_scan.full_pcd, new_scan.full_valid,
+                num_sample=ss.registration_sample_odometer)
             edges.append(PoseGraphEdge(
                 src_scan_token=cand.token, dst_scan_token=new_scan.token,
                 SE3=se3m.inv(SE3), information_mat=info, type="odom",
@@ -204,13 +208,12 @@ class MappingModule:
             full_pcd=False, centering_SE3=src_old.SE3_pred, max_dist=20)
         keep = toks != dst_new.token  # drop the scan's own descriptors
         tile = tile[keep]
-        SE3, conf, rmse = self.engine.register(
+        SE3, conf, rmse, info = self.engine.register_with_info(
             tile, np.ones(tile.shape[0], bool),
             dst_new.key_points, dst_new.key_valid,
-            num_sample=self.ss.registration_sample_mapping)
-        info = self.engine.compute_information_matrix(
             src_old.full_pcd, src_old.full_valid,
-            dst_new.full_pcd, dst_new.full_valid, SE3)
+            dst_new.full_pcd, dst_new.full_valid,
+            num_sample=self.ss.registration_sample_mapping)
         return PoseGraphEdge(edge.src_scan_token, edge.dst_scan_token,
                              se3m.inv(SE3), info, "odom",
                              confidence=conf, rmse=rmse)
@@ -407,13 +410,12 @@ class LoopClosureModule:
             if prev_map.shape[0] == 0 or new_map.shape[0] == 0:
                 continue
 
-            SE3, conf, rmse = self.engine.register(
+            SE3, conf, rmse, info = self.engine.register_with_info(
                 prev_map, np.ones(prev_map.shape[0], bool),
                 new_map, np.ones(new_map.shape[0], bool),
-                num_sample=ss.registration_sample_loop)
-            info = self.engine.compute_information_matrix(
                 prev.full_pcd, prev.full_valid,
-                new_scan.full_pcd, new_scan.full_valid, SE3)
+                new_scan.full_pcd, new_scan.full_valid,
+                num_sample=ss.registration_sample_loop)
             edges.append(PoseGraphEdge(prev.token, new_scan.token,
                                        se3m.inv(SE3), info, "loop",
                                        confidence=conf, rmse=rmse))

@@ -70,15 +70,18 @@ class SlamSystem:
     def _make_scan(self, descriptors, desc_valid, point_cloud, pcd_valid,
                    R, T) -> ScanPack:
         """Assemble a ScanPack (reference: core.py:371-379); full_pcd is
-        re-scaled back to meters."""
+        stored in meters (inputs are normalized unless the engine runs the
+        preprocessing on device, in which case they are raw meters)."""
         self.frame_id += 1
+        scale = 1.0 if self.engine.preprocess_cfg is not None \
+            else self.coor_scale
         return ScanPack(
             timestamp=self.frame_id * 0.1,
             agent_id=self.system_id,
             timestep=self.frame_id,
             key_points=np.asarray(descriptors, np.float32),
             key_valid=np.asarray(desc_valid, bool),
-            full_pcd=np.asarray(point_cloud, np.float32) * self.coor_scale,
+            full_pcd=np.asarray(point_cloud, np.float32) * scale,
             full_valid=np.asarray(pcd_valid, bool),
             coor_sys=self.coor_sys,
             SE3_gt=se3m.se3(R, T) if R is not None else None)
@@ -119,19 +122,43 @@ class SlamSystem:
         if point_cloud.ndim == 2:
             point_cloud, valid = point_cloud[None], valid[None]
 
-        perf_t = time.perf_counter()
-        descriptors, desc_valid = self.extraction.process(point_cloud, valid)
-        new_scan = self._make_scan(descriptors[0], desc_valid[0],
-                                   point_cloud[0], valid[0], R, T)
-        self.result_logger.record_perf("extract", time.perf_counter() - perf_t)
+        # candidate search only needs the pose graph, so it runs BEFORE
+        # extraction; with one candidate (the default config) extraction +
+        # registration + information matrix fuse into a single device call
+        # (engine.odometry_step), minimizing dispatch round-trips
+        candidates = self.odometry.search_candidates(
+            agent_id=self.system_id)
 
         perf_t = time.perf_counter()
-        odom_edges = self.odometry.process(new_scan)
-        if not odom_edges:
+        if not candidates:
+            descriptors, desc_valid, pts_valid = self.extraction.process(
+                point_cloud, valid)
+            new_scan = self._make_scan(descriptors[0], desc_valid[0],
+                                       point_cloud[0], pts_valid[0], R, T)
+            self.result_logger.record_perf("extract",
+                                           time.perf_counter() - perf_t)
             self._first_scan(new_scan)
             self._upload(new_scan, None)
             return EXIT_CODE.acpt
-        odom_edge = odom_edges[0]
+
+        cand = candidates[0]
+        desc, dvalid, pts_valid, SE3, conf, rmse, info = \
+            self.engine.odometry_step(
+                point_cloud, valid, cand.key_points, cand.key_valid,
+                cand.full_pcd, cand.full_valid,
+                num_sample=self.args.slam_system.registration_sample_odometer)
+        new_scan = self._make_scan(desc[0], dvalid[0],
+                                   point_cloud[0], pts_valid[0], R, T)
+        self.result_logger.record_perf("extract", time.perf_counter() - perf_t)
+
+        perf_t = time.perf_counter()
+        odom_edge = PoseGraphEdge(
+            src_scan_token=cand.token, dst_scan_token=new_scan.token,
+            SE3=se3m.inv(SE3), information_mat=info, type="odom",
+            confidence=conf, rmse=rmse)
+        # extra candidates (odometer_candidates_num > 1) use the unfused path
+        for extra in candidates[1:]:
+            self.odometry.odometry(new_scan, [extra])
         self.result_logger.record_perf("odometer", time.perf_counter() - perf_t)
 
         perf_t = time.perf_counter()
@@ -225,10 +252,10 @@ class SlamSystem:
             if batch:
                 pcs = np.concatenate([b[0] for b in batch], 0)
                 vals = np.concatenate([b[3] for b in batch], 0)
-                descs, dvalids = self.extraction.process(pcs, vals)
-                for (pc, R, T, val), desc, dv in zip(
-                        batch, descs, dvalids):
-                    scan = self._make_scan(desc, dv, pc[0], val[0], R, T)
+                descs, dvalids, pvalids = self.extraction.process(pcs, vals)
+                for (pc, R, T, val), desc, dv, pv in zip(
+                        batch, descs, dvalids, pvalids):
+                    scan = self._make_scan(desc, dv, pc[0], pv, R, T)
                     q_out.put(scan)
                 self.result_logger.record_perf(
                     "extract", time.perf_counter() - perf_t)
