@@ -100,9 +100,16 @@ def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
         valid = valid & (mean_d <= mu + cfg.outlier_std * sd)
 
     if cfg.use_lowpass:
-        # low-pass: top-flux neighbor-normal coherence
-        normals = estimate_normals(pts, valid, cfg.normals_radius)
-        idx, _ = knn(pts, pts, cfg.normals_num + 1, valid)
+        # low-pass: top-flux neighbor-normal coherence. One kNN pass is
+        # shared between normal estimation (k=30 radius-capped) and the
+        # coherence neighborhoods (k=normals_num+1) -- both run over the
+        # same validity set, and the full 16k x 16k distance pass is the
+        # dominant cost here.
+        k_shared = max(30, cfg.normals_num + 1)
+        nb = knn(pts, pts, k_shared, valid)
+        normals = estimate_normals(pts, valid, cfg.normals_radius,
+                                   neighbors=nb)
+        idx = nb[0][:, :cfg.normals_num + 1]
         nbr_n = jnp.take(normals, idx[:, 1:], axis=0)        # (P, K, 3)
         sim = jnp.abs(jnp.einsum("pkc,pc->pk", nbr_n, normals,
                                  preferred_element_type=jnp.float32))

@@ -30,12 +30,27 @@ def voxel_downsample_indices(
     retention: str = "center",
     num: int | None = None,
 ) -> np.ndarray:
-    """Indices (into xyz) of retained points, in ascending original order
-    for 'first' retention; arbitrary stable order for 'center'."""
+    """Indices (into xyz) of retained points, ordered by ascending voxel
+    id (matching the reference's np.unique ordering,
+    dataloader/transforms.py:349)."""
     assert retention in ("first", "center")
     n = xyz.shape[0]
     if n == 0:
         return np.zeros((0,), dtype=np.int64)
+
+    if num is None and retention == "first":
+        # native O(N) hash path (falls back to NumPy below when the
+        # toolchain is unavailable); survivor set + order are identical.
+        # 'center' retention stays NumPy: float rounding in the
+        # center-distance computation flips near-tie winners.
+        from deeppointmap_tpu import native
+
+        keep = native.voxel_downsample_indices_native(xyz, voxel_size,
+                                                      retention)
+        if keep is not None:
+            vid = voxel_ids(xyz, voxel_size)
+            return keep[np.argsort(vid[keep], kind="stable")]
+
     vid = voxel_ids(xyz, voxel_size)
 
     if retention == "center":

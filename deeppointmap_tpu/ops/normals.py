@@ -54,10 +54,17 @@ def smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
 
 
 def estimate_normals(xyz: jnp.ndarray, valid: jnp.ndarray,
-                     radius: float, max_nn: int = 30) -> jnp.ndarray:
+                     radius: float, max_nn: int = 30,
+                     neighbors=None) -> jnp.ndarray:
     """Unit normals (N, 3) via PCA over radius-capped kNN neighborhoods.
-    Invalid points get the +z fallback (they are masked downstream)."""
-    idx, dist2 = knn(xyz, xyz, max_nn, valid)
+    Invalid points get the +z fallback (they are masked downstream).
+    `neighbors` = precomputed (idx, dist2) with >= max_nn columns lets
+    callers share one kNN pass across stages."""
+    if neighbors is None:
+        idx, dist2 = knn(xyz, xyz, max_nn, valid)
+    else:
+        idx, dist2 = neighbors
+        idx, dist2 = idx[:, :max_nn], dist2[:, :max_nn]
     w = (dist2 <= radius * radius)                      # (N, K)
     w = w.at[:, 0].set(True)
     nbr = jnp.take(xyz, idx, axis=0)                    # (N, K, 3)
