@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--infer_tgt", default="log_infer", type=str)
     p.add_argument("--multi_thread", "-mt", default=False, action="store_true")
     p.add_argument("--use_ros", "-ros", default=False, action="store_true")
+    p.add_argument("--profile", default=False, action="store_true",
+                   help="Capture a jax.profiler device trace during inference")
     # YAML-only trees
     p.add_argument("--dataset", help="yaml tree")
     p.add_argument("--transforms", help="yaml tree")

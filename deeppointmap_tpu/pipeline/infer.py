@@ -172,13 +172,18 @@ def main(argv=None):
     os.makedirs(args.infer_tgt, exist_ok=True)
     save_settings(args, os.path.join(args.infer_tgt, "settings.yaml"))
 
-    for i, seq in enumerate(args.infer_src):
-        if not os.path.isdir(seq):
-            logger.warning("skip missing sequence dir: %s", seq)
-            continue
-        out_dir = os.path.join(args.infer_tgt, f"Seq{i:02d}")
-        logger.info("=== sequence %d: %s -> %s", i, seq, out_dir)
-        run_sequence(args, engine, seq, out_dir, system_id=1)
+    from deeppointmap_tpu.utils.timer import device_trace
+
+    profile_dir = (os.path.join(args.infer_tgt, "profile")
+                   if args.get("profile") else None)
+    with device_trace(profile_dir):
+        for i, seq in enumerate(args.infer_src):
+            if not os.path.isdir(seq):
+                logger.warning("skip missing sequence dir: %s", seq)
+                continue
+            out_dir = os.path.join(args.infer_tgt, f"Seq{i:02d}")
+            logger.info("=== sequence %d: %s -> %s", i, seq, out_dir)
+            run_sequence(args, engine, seq, out_dir, system_id=1)
 
 
 if __name__ == "__main__":
