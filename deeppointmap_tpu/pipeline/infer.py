@@ -128,6 +128,7 @@ def run_sequence(args, engine, seq_root: str, out_dir: str,
                         logger_dir=out_dir)
 
     if args.multi_thread:
+        system.warmup(agent[0])
         system.MT_Init()
         for data in prefetch(agent):
             system.MT_Step(data)

@@ -28,7 +28,11 @@ from deeppointmap_tpu.ops.infomat import information_matrix
 
 
 DEFAULT_REG_BUCKETS = (256, 512, 1024, 2048, 4096)
-DEFAULT_BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+DEFAULT_BATCH_BUCKETS = (1, 4, 16, 64)
+#: extraction batches larger than this are split into chunks of exactly
+#: this size -- every XLA program shape is expensive to compile on this
+#: toolchain, so extraction uses only two shapes: 1 and EXTRACT_CHUNK
+DEFAULT_EXTRACT_CHUNK = 4
 
 
 def _bucket(n: int, buckets) -> int:
@@ -60,6 +64,8 @@ class InferenceEngine:
         self.reg_buckets = tuple(tpu.get("reg_buckets", DEFAULT_REG_BUCKETS))
         self.batch_buckets = tuple(
             tpu.get("loop_batch_buckets", DEFAULT_BATCH_BUCKETS))
+        self.extract_chunk = int(tpu.get("extract_chunk",
+                                         DEFAULT_EXTRACT_CHUNK))
         self.encoder = encoder or Encoder.from_config(args)
         self.decoder = decoder or Decoder.from_config(args)
         self.enc_params = enc_params
@@ -99,19 +105,35 @@ class InferenceEngine:
     def extract(self, points: np.ndarray, valid: np.ndarray):
         """points (B, P, 3) -> (descriptors (B, K, C+3) with xyz in
         meters, descriptor validity (B, K), filtered point validity
-        (B, P)). Batch padded to a bucket. Input coords are normalized,
-        or raw meters when device preprocessing is enabled."""
+        (B, P)). Input coords are normalized, or raw meters when device
+        preprocessing is enabled.
+
+        Shape discipline: exactly TWO compiled shapes (B=1 and
+        B=extract_chunk); larger batches are split into chunks (each
+        program shape costs minutes of compilation on this toolchain)."""
         b = points.shape[0]
-        bb = _bucket(b, self.batch_buckets)
-        if bb != b:
-            points = np.concatenate(
-                [points, np.zeros((bb - b, *points.shape[1:]), points.dtype)], 0)
-            valid = np.concatenate(
-                [valid, np.zeros((bb - b, valid.shape[1]), bool)], 0)
-        desc, out_valid, pts_valid = self._extract_fn(jnp.asarray(points),
-                                                      jnp.asarray(valid))
-        return (np.asarray(desc)[:b], np.asarray(out_valid)[:b],
-                np.asarray(pts_valid)[:b])
+        if b == 1:
+            desc, ov, pv = self._extract_fn(jnp.asarray(points),
+                                            jnp.asarray(valid))
+            return np.asarray(desc), np.asarray(ov), np.asarray(pv)
+
+        chunk = self.extract_chunk
+        descs, ovs, pvs = [], [], []
+        for start in range(0, b, chunk):
+            pc = points[start:start + chunk]
+            vc = valid[start:start + chunk]
+            nb = pc.shape[0]
+            if nb < chunk:
+                pc = np.concatenate(
+                    [pc, np.zeros((chunk - nb, *pc.shape[1:]), pc.dtype)], 0)
+                vc = np.concatenate(
+                    [vc, np.zeros((chunk - nb, vc.shape[1]), bool)], 0)
+            d, ov, pv = self._extract_fn(jnp.asarray(pc), jnp.asarray(vc))
+            descs.append(np.asarray(d)[:nb])
+            ovs.append(np.asarray(ov)[:nb])
+            pvs.append(np.asarray(pv)[:nb])
+        return (np.concatenate(descs, 0), np.concatenate(ovs, 0),
+                np.concatenate(pvs, 0))
 
     # --------------------------------------------------------- register
     def _register_impl(self, src, dst, sv, dv, num_pairs, num_pairs_actual):

@@ -112,6 +112,27 @@ class SlamSystem:
             dict(new_scan=new_scan.copy(), odometer_edge=odom_edge,
                  neighbor_edges=neighbor_edges))
 
+    def warmup(self, example: Tuple) -> None:
+        """Trigger the hot-path compiles (extract B=1 and B=chunk, fused
+        odometry, register+info) before the pipeline starts, so the MT
+        stages run at steady state from the first frame. Uses one example
+        frame; compiled programs land in the persistent cache."""
+        point_cloud, R, T, valid = example[:4]
+        point_cloud = np.asarray(point_cloud, np.float32)
+        valid = np.asarray(valid, bool)
+        if point_cloud.ndim == 2:
+            point_cloud, valid = point_cloud[None], valid[None]
+        desc, dv, pv = self.engine.extract(point_cloud, valid)
+        chunk = self.engine.extract_chunk
+        self.engine.extract(np.repeat(point_cloud, chunk, 0),
+                            np.repeat(valid, chunk, 0))
+        self.engine.odometry_step(point_cloud, valid, desc[0], dv[0],
+                                  point_cloud[0], pv[0])
+        self.engine.register_with_info(
+            desc[0], dv[0], desc[0], dv[0], point_cloud[0], pv[0],
+            point_cloud[0], pv[0],
+            num_sample=self.args.slam_system.registration_sample_mapping)
+
     # --------------------------------------------------------- sequential
     def step(self, sensor_data: Tuple) -> EXIT_CODE:
         """One frame through the full pipeline (reference: core.py:360-423).

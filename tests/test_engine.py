@@ -1,0 +1,99 @@
+"""InferenceEngine: bucket padding, chunked extraction, oversized-tile
+crop, fused-call consistency (CPU backend, tiny model)."""
+
+import numpy as np
+import pytest
+
+from tests.test_slam_e2e import small_args
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    args = small_args(tmp_path_factory.mktemp("eng"))
+    from deeppointmap_tpu.pipeline.common import init_params
+    from deeppointmap_tpu.slam.engine import InferenceEngine
+
+    enc, dec, enc_params, dec_params = init_params(args, seed=0)
+    return InferenceEngine(args, enc_params, dec_params,
+                           encoder=enc, decoder=dec)
+
+
+def _cloud(rng, n, pad):
+    pts = np.zeros((pad, 3), np.float32)
+    v = np.zeros((pad,), bool)
+    pts[:n] = rng.normal(0, 0.3, size=(n, 3))
+    v[:n] = True
+    return pts, v
+
+
+def test_extract_chunking_matches_single(engine):
+    rng = np.random.default_rng(0)
+    pad = 4096
+    clouds = [_cloud(rng, 1000 + 100 * i, pad) for i in range(5)]
+    pts = np.stack([c[0] for c in clouds])
+    val = np.stack([c[1] for c in clouds])
+
+    d_all, ov_all, pv_all = engine.extract(pts, val)     # chunked (5 -> 4+1)
+    for i in range(5):
+        d1, ov1, pv1 = engine.extract(pts[i:i + 1], val[i:i + 1])
+        np.testing.assert_allclose(d_all[i], d1[0], atol=1e-5)
+        np.testing.assert_array_equal(ov_all[i], ov1[0])
+        np.testing.assert_array_equal(pv_all[i], pv1[0])
+
+
+def test_register_bucket_invariance(engine):
+    """Padding a descriptor set to a larger bucket must not change the
+    result (num_pairs_actual preserves the true top-k semantics)."""
+    rng = np.random.default_rng(1)
+    pad = 4096
+    pts, val = _cloud(rng, 1500, pad)
+    d, ov, pv = engine.extract(pts[None], val[None])
+    src, sv = d[0], ov[0]
+
+    SE3_a, conf_a, rmse_a = engine.register(src, sv, src.copy(), sv.copy())
+
+    # same tokens embedded in a bigger tile (padded invalid)
+    big = np.zeros((src.shape[0] * 2, src.shape[1]), np.float32)
+    bigv = np.zeros((src.shape[0] * 2,), bool)
+    big[:src.shape[0]] = src
+    bigv[:src.shape[0]] = sv
+    SE3_b, conf_b, rmse_b = engine.register(big, bigv, src, sv)
+
+    np.testing.assert_allclose(SE3_a, SE3_b, atol=1e-4)
+    assert conf_a == pytest.approx(conf_b, abs=1e-5)
+    assert rmse_a == pytest.approx(rmse_b, abs=1e-4)
+
+
+def test_oversized_tile_cropped(engine):
+    rng = np.random.default_rng(2)
+    max_bucket = engine.reg_buckets[-1]
+    n = max_bucket + 57
+    desc = rng.normal(size=(n, 35)).astype(np.float32)
+    valid = np.ones(n, bool)
+    out, ov, b = engine._pad_tokens(desc, valid)
+    assert out.shape[0] == max_bucket
+    # nearest-to-center tokens kept
+    d = np.linalg.norm(desc[:, -3:], axis=1)
+    kept_max = np.linalg.norm(out[:, -3:], axis=1).max()
+    dropped_min = np.sort(d)[max_bucket:].min()
+    assert kept_max <= dropped_min + 1e-6
+
+
+def test_odometry_step_matches_unfused(engine):
+    rng = np.random.default_rng(3)
+    pad = 4096
+    p1, v1 = _cloud(rng, 1200, pad)
+    p2, v2 = _cloud(rng, 1300, pad)
+    d1, ov1, pv1 = engine.extract(p1[None], v1[None])
+
+    desc, dv, pv, SE3_f, conf_f, rmse_f, info_f = engine.odometry_step(
+        p2[None], v2[None], d1[0], ov1[0], p1, pv1[0], num_sample=0.5)
+
+    d2, ov2, pv2 = engine.extract(p2[None], v2[None])
+    np.testing.assert_allclose(desc[0], d2[0], atol=1e-5)
+    SE3_u, conf_u, rmse_u, info_u = engine.register_with_info(
+        d1[0], ov1[0], d2[0], ov2[0], p1, pv1[0], p2, pv2[0],
+        num_sample=0.5)
+    np.testing.assert_allclose(SE3_f, SE3_u, atol=1e-4)
+    assert conf_f == pytest.approx(conf_u, abs=1e-5)
+    np.testing.assert_allclose(info_f, info_u, rtol=1e-4, atol=1e-2)
