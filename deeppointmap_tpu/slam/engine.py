@@ -81,6 +81,33 @@ class InferenceEngine:
         # encoder output token count: coords of the FP target level
         e = args.encoder
         self.n_tokens = int(e.npoint[len(e.npoint) - 1 - e.upsample_layers])
+        # device-resident cache of per-scan arrays: uploading a 16k-point
+        # cloud through this machine's TPU link costs tens of ms, and the
+        # SLAM loop reuses the same candidate/keyframe arrays many times
+        from collections import OrderedDict
+        self._dcache: "OrderedDict" = OrderedDict()
+        self._dcache_cap = int(tpu.get("device_cache_scans", 128))
+
+    def _dev(self, arr, key=None):
+        """jnp.asarray with an LRU device cache for token-keyed arrays."""
+        if key is None:
+            return jnp.asarray(arr)
+        hit = self._dcache.get(key)
+        if hit is not None and hit.shape == arr.shape:
+            self._dcache.move_to_end(key)
+            return hit
+        dev = jnp.asarray(arr)
+        self._dcache[key] = dev
+        if len(self._dcache) > self._dcache_cap:
+            self._dcache.popitem(last=False)
+        return dev
+
+    def invalidate_device_cache(self, token=None) -> None:
+        if token is None:
+            self._dcache.clear()
+        else:
+            for k in [k for k in self._dcache if k[0] == token]:
+                del self._dcache[k]
 
     # ------------------------------------------------------------ extract
     def _maybe_preprocess(self, points, valid):
@@ -113,9 +140,8 @@ class InferenceEngine:
         program shape costs minutes of compilation on this toolchain)."""
         b = points.shape[0]
         if b == 1:
-            desc, ov, pv = self._extract_fn(jnp.asarray(points),
-                                            jnp.asarray(valid))
-            return np.asarray(desc), np.asarray(ov), np.asarray(pv)
+            out = self._extract_fn(jnp.asarray(points), jnp.asarray(valid))
+            return jax.device_get(out)
 
         chunk = self.extract_chunk
         descs, ovs, pvs = [], [], []
@@ -128,10 +154,11 @@ class InferenceEngine:
                     [pc, np.zeros((chunk - nb, *pc.shape[1:]), pc.dtype)], 0)
                 vc = np.concatenate(
                     [vc, np.zeros((chunk - nb, vc.shape[1]), bool)], 0)
-            d, ov, pv = self._extract_fn(jnp.asarray(pc), jnp.asarray(vc))
-            descs.append(np.asarray(d)[:nb])
-            ovs.append(np.asarray(ov)[:nb])
-            pvs.append(np.asarray(pv)[:nb])
+            d, ov, pv = jax.device_get(
+                self._extract_fn(jnp.asarray(pc), jnp.asarray(vc)))
+            descs.append(d[:nb])
+            ovs.append(ov[:nb])
+            pvs.append(pv[:nb])
         return (np.concatenate(descs, 0), np.concatenate(ovs, 0),
                 np.concatenate(pvs, 0))
 
@@ -171,10 +198,10 @@ class InferenceEngine:
         dst, dv, nb = self._pad_tokens(dst_desc, dst_valid)
         k_static = num_pairs_for(mb, nb, num_sample)
         k_actual = num_pairs_for(min(m_real, mb), min(n_real, nb), num_sample)
-        R, t, conf, rmse, n_in = self._register_fn(
+        R, t, conf, rmse, n_in = jax.device_get(self._register_fn(
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(sv),
             jnp.asarray(dv), num_pairs=k_static,
-            num_pairs_actual=jnp.int32(k_actual))
+            num_pairs_actual=jnp.int32(k_actual)))
         SE3 = np.eye(4)
         SE3[:3, :3] = np.asarray(R, np.float64)
         SE3[:3, 3] = np.asarray(t, np.float64)
@@ -191,11 +218,12 @@ class InferenceEngine:
 
     def register_with_info(self, src_desc, src_valid, dst_desc, dst_valid,
                            src_pcd, src_pvalid, dst_pcd, dst_pvalid,
-                           num_sample=0.5):
+                           num_sample=0.5, src_token=None, dst_token=None):
         """Registration + 6x6 information matrix in one device call
         (used by odometry/mapping/loop edges -- the reference computes
         them back-to-back at odometry.py:108-115, mapping.py:152-159,
-        loop_closure.py:240-247)."""
+        loop_closure.py:240-247). Pass src_token/dst_token to reuse
+        device-cached per-scan point clouds."""
         m_real = int(src_valid.sum())
         n_real = int(dst_valid.sum())
         src, sv, mb = self._pad_tokens(src_desc, src_valid)
@@ -205,11 +233,14 @@ class InferenceEngine:
         if not hasattr(self, "_reg_info_fn"):
             self._reg_info_fn = jax.jit(self._register_info_impl,
                                         static_argnames=("num_pairs",))
-        R, t, conf, rmse, info = self._reg_info_fn(
+        skey = lambda name: (src_token, name) if src_token is not None else None
+        dkey = lambda name: (dst_token, name) if dst_token is not None else None
+        R, t, conf, rmse, info = jax.device_get(self._reg_info_fn(
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(sv),
-            jnp.asarray(dv), jnp.asarray(src_pcd), jnp.asarray(src_pvalid),
-            jnp.asarray(dst_pcd), jnp.asarray(dst_pvalid),
-            num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
+            jnp.asarray(dv),
+            self._dev(src_pcd, skey("pcd")), self._dev(src_pvalid, skey("pv")),
+            self._dev(dst_pcd, dkey("pcd")), self._dev(dst_pvalid, dkey("pv")),
+            num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual)))
         SE3 = np.eye(4)
         SE3[:3, :3] = np.asarray(R, np.float64)
         SE3[:3, 3] = np.asarray(t, np.float64)
@@ -232,7 +263,7 @@ class InferenceEngine:
 
     def odometry_step(self, points: np.ndarray, valid: np.ndarray,
                       cand_desc, cand_kvalid, cand_pcd, cand_pvalid,
-                      num_sample=0.5):
+                      num_sample=0.5, cand_token=None):
         """Extraction + registration-against-candidate + information
         matrix fused into ONE device call (a synchronous dispatch through
         this machine's TPU tunnel costs ~28 ms regardless of work, so the
@@ -247,10 +278,14 @@ class InferenceEngine:
         n_tok = self.n_tokens
         k_static = num_pairs_for(mb, n_tok, num_sample)
         k_actual = num_pairs_for(min(m_real, mb), n_tok, num_sample)
-        desc, dvalid, pts_valid, R, t, conf, rmse, info = self._odometry_fn(
-            jnp.asarray(points), jnp.asarray(valid), jnp.asarray(src),
-            jnp.asarray(sv), jnp.asarray(cand_pcd), jnp.asarray(cand_pvalid),
-            num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
+        ck = lambda name: (cand_token, name) if cand_token is not None else None
+        desc, dvalid, pts_valid, R, t, conf, rmse, info = jax.device_get(
+            self._odometry_fn(
+                jnp.asarray(points), jnp.asarray(valid),
+                self._dev(src, ck("kp_pad")), self._dev(sv, ck("kv_pad")),
+                self._dev(cand_pcd, ck("pcd")),
+                self._dev(cand_pvalid, ck("pv")),
+                num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual)))
         SE3 = np.eye(4)
         SE3[:3, :3] = np.asarray(R, np.float64)
         SE3[:3, 3] = np.asarray(t, np.float64)
@@ -278,9 +313,10 @@ class InferenceEngine:
             # padded rows trivially valid on one token
             src_valid[b:, 0] = True
             dst_valid[b:, 0] = True
-        probs = self._loop_fn(jnp.asarray(src_batch), jnp.asarray(dst_batch),
-                              jnp.asarray(src_valid), jnp.asarray(dst_valid))
-        return np.asarray(probs)[:b]
+        probs = jax.device_get(self._loop_fn(
+            jnp.asarray(src_batch), jnp.asarray(dst_batch),
+            jnp.asarray(src_valid), jnp.asarray(dst_valid)))
+        return probs[:b]
 
     # -------------------------------------------------- information matrix
     def _info_impl(self, src, sv, dst, dv, R, t):

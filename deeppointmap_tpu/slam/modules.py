@@ -97,7 +97,8 @@ class OdometryModule:
                 new_scan.key_points, new_scan.key_valid,
                 cand.full_pcd, cand.full_valid,
                 new_scan.full_pcd, new_scan.full_valid,
-                num_sample=ss.registration_sample_odometer)
+                num_sample=ss.registration_sample_odometer,
+                src_token=cand.token, dst_token=new_scan.token)
             edges.append(PoseGraphEdge(
                 src_scan_token=cand.token, dst_scan_token=new_scan.token,
                 SE3=se3m.inv(SE3), information_mat=info, type="odom",
@@ -213,7 +214,8 @@ class MappingModule:
             dst_new.key_points, dst_new.key_valid,
             src_old.full_pcd, src_old.full_valid,
             dst_new.full_pcd, dst_new.full_valid,
-            num_sample=self.ss.registration_sample_mapping)
+            num_sample=self.ss.registration_sample_mapping,
+            src_token=src_old.token, dst_token=dst_new.token)
         return PoseGraphEdge(edge.src_scan_token, edge.dst_scan_token,
                              se3m.inv(SE3), info, "odom",
                              confidence=conf, rmse=rmse)
@@ -415,7 +417,8 @@ class LoopClosureModule:
                 new_map, np.ones(new_map.shape[0], bool),
                 prev.full_pcd, prev.full_valid,
                 new_scan.full_pcd, new_scan.full_valid,
-                num_sample=ss.registration_sample_loop)
+                num_sample=ss.registration_sample_loop,
+                src_token=prev.token, dst_token=new_scan.token)
             edges.append(PoseGraphEdge(prev.token, new_scan.token,
                                        se3m.inv(SE3), info, "loop",
                                        confidence=conf, rmse=rmse))

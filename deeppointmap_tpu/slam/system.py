@@ -167,7 +167,8 @@ class SlamSystem:
             self.engine.odometry_step(
                 point_cloud, valid, cand.key_points, cand.key_valid,
                 cand.full_pcd, cand.full_valid,
-                num_sample=self.args.slam_system.registration_sample_odometer)
+                num_sample=self.args.slam_system.registration_sample_odometer,
+                cand_token=cand.token)
         new_scan = self._make_scan(desc[0], dvalid[0],
                                    point_cloud[0], pts_valid[0], R, T)
         self.result_logger.record_perf("extract", time.perf_counter() - perf_t)
