@@ -33,7 +33,8 @@ class StubEngine:
         return out
 
     def register_with_info(self, src_desc, sv, dst_desc, dv,
-                           src_pcd, spv, dst_pcd, dpv, num_sample=0.5):
+                           src_pcd, spv, dst_pcd, dpv, num_sample=0.5,
+                           **kwargs):
         # identify the scans by the first descriptor row (token stamp)
         s_tok = int(src_desc[0, 0])
         d_tok = int(dst_desc[0, 0])
