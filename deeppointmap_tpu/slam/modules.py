@@ -143,10 +143,15 @@ class MappingModule:
             self.drop_scans_bag.append((new_scan, edge))
             if len(self.drop_scans_bag) >= ss.max_continuous_drop_scan:
                 if ss.continuous_drop_scan_strategy == "recover":
-                    new_scan, edge = min(self.drop_scans_bag,
-                                         key=lambda x: x[1].rmse)
+                    # the reference logs the lowest-rmse bagged scan but
+                    # proceeds with the CURRENT one (mapping.py:61-64
+                    # rebinds locals only); keep that exact behavior
+                    best_scan, best_edge = min(self.drop_scans_bag,
+                                               key=lambda x: x[1].rmse)
                     self.drop_scans_bag.clear()
-                    logger.info("Too many dropped scans, recover %s",
+                    logger.info("Too many dropped scans, recover: best in "
+                                "bag was %s (rmse %.4f); accepting current "
+                                "%s", best_scan.token, best_edge.rmse,
                                 new_scan.token)
                     return EXIT_CODE.acpt, new_scan, edge
                 elif ss.continuous_drop_scan_strategy == "break":

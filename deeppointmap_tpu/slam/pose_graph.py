@@ -422,8 +422,14 @@ class PoseGraph:
 
         keyframes = [s for s in self.get_all_scans()
                      if s.type != "non-keyframe"]
+        if not keyframes:
+            return 0, 0, 0.0
         token_to_idx = {s.token: i for i, s in enumerate(keyframes)}
         base_token = min(self.vertex)
+        if base_token not in token_to_idx:
+            # gauge anchor must be a solve node (the reference would crash
+            # here if the lowest token were a non-keyframe)
+            base_token = min(token_to_idx)
         poses = np.stack([s.SE3_pred for s in keyframes], 0)
         edges = []
         for e in self.get_all_edges():

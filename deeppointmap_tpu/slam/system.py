@@ -399,14 +399,18 @@ class CloudSystem(SlamSystem):
                    key=lambda s: s.timestep)
         scan_now = pg.get_scanpack(scan_pack.token)
         if base.coor_sys != scan_now.coor_sys:
+            pose_new = coor_new = None
             for n in pg.get_neighbor_tokens(scan_pack.token):
                 nb = pg.get_scanpack(n)
                 e = pg.get_edge_either(n, scan_pack.token)
                 rel = (e.SE3 if e.src_scan_token == n else se3m.inv(e.SE3))
                 pose_new = nb.SE3_pred @ rel
                 coor_new = nb.coor_sys
-            pg.update_scan_token(scan_pack.token, new_SE3_pred=pose_new,
-                                 new_coor_sys=coor_new)
+            if pose_new is not None:
+                # (the reference would NameError here on a neighbor-less
+                # scan, core.py:495-505)
+                pg.update_scan_token(scan_pack.token, new_SE3_pred=pose_new,
+                                     new_coor_sys=coor_new)
 
         self.loop.process(scan_now, targets="others")
 
