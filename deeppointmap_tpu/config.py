@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import argparse
 import logging
-from typing import Any, Iterable, Mapping
+from typing import Any, Mapping
 
 import yaml
 

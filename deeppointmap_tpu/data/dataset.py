@@ -22,11 +22,11 @@ from __future__ import annotations
 import glob as globlib
 import logging
 import os
-from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from deeppointmap_tpu.data.readers import Scan, get_reader, read_auto
+from deeppointmap_tpu.data.readers import get_reader, read_auto
 
 logger = logging.getLogger(__name__)
 

@@ -18,7 +18,7 @@ Conventions:
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Union
 
 import numpy as np
 from scipy.spatial import cKDTree

@@ -19,13 +19,11 @@ reference: decoder.py:149-150).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from deeppointmap_tpu.models.common import MLP, MultiHeadAttention, sine_pos_embedding
+from deeppointmap_tpu.models.common import MultiHeadAttention, sine_pos_embedding
 from deeppointmap_tpu.ops.kabsch import weighted_kabsch
 
 _CONF_TOPK = 30  # simvec_to_num: mean of top-30 inlier confidences

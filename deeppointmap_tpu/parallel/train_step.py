@@ -19,7 +19,6 @@ equivalent, trainer.py:239-242).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Tuple
 
 import jax

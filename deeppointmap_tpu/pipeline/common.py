@@ -3,14 +3,11 @@
 from __future__ import annotations
 
 import logging
-import os
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deeppointmap_tpu.config import Config
 from deeppointmap_tpu.models import Decoder, Encoder
 
 logger = logging.getLogger(__name__)

@@ -22,7 +22,7 @@ import numpy as np
 
 from deeppointmap_tpu.config import load_config, save_settings
 from deeppointmap_tpu.data.dataset import BasicAgent
-from deeppointmap_tpu.data.transforms import PointCloudTransforms, to_padded
+from deeppointmap_tpu.data.transforms import PointCloudTransforms
 from deeppointmap_tpu.pipeline.common import build_models, infer_padding
 from deeppointmap_tpu.slam.engine import InferenceEngine
 from deeppointmap_tpu.slam.system import SlamSystem

@@ -21,7 +21,7 @@ import logging
 import os
 import pickle
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

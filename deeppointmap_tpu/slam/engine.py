@@ -15,8 +15,7 @@ and system/modules/utils.py:60 (information matrix).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

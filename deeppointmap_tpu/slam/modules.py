@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import logging
 import math
-from typing import List, Literal, Optional, Tuple, Union
+from typing import List, Literal, Tuple, Union
 
 import numpy as np
 

@@ -19,7 +19,7 @@ pose_graph.py:19-871) with these deliberate changes:
 from __future__ import annotations
 
 import threading
-from typing import Callable, Dict, List, Literal, Optional, Sequence, Set, Tuple
+from typing import Callable, Dict, List, Literal, Optional, Set, Tuple
 
 import numpy as np
 

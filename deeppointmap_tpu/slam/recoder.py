@@ -10,7 +10,7 @@ voxel-downsample for plotting -- we use our own voxel grid)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

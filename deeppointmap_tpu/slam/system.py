@@ -15,7 +15,7 @@ import logging
 import queue
 import threading
 import time
-from typing import Any, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
