@@ -77,14 +77,16 @@ def make_infer_transform(args):
 
     from deeppointmap_tpu.data.voxel import voxel_downsample_indices
 
-    vox = dict(args.transforms).get("VoxelSample", {})
-    voxel_size = vox.get("voxel_size", 0.3)
-    retention = vox.get("retention", "first")
+    vox = dict(args.transforms).get("VoxelSample")
 
     def run_device(scan):
         original = scan.xyz.copy()
-        keep = voxel_downsample_indices(scan.xyz, voxel_size, retention)
-        xyz = scan.xyz[keep]
+        if vox is not None:
+            keep = voxel_downsample_indices(
+                scan.xyz, vox["voxel_size"], vox.get("retention", "center"))
+            xyz = scan.xyz[keep]
+        else:
+            xyz = scan.xyz
         padded = np.zeros((pad, 3), np.float32)
         v = np.zeros((pad,), bool)
         n = min(xyz.shape[0], pad)
