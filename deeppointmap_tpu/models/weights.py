@@ -132,6 +132,125 @@ def convert_decoder(sd: Mapping, attention_layers: int = 3) -> Dict:
     return p
 
 
+# --------------------------------------------------------------- inverse
+def _get(tree: dict, path: str):
+    node = tree
+    for p in path.split("/"):
+        node = node[p]
+    return np.asarray(node)
+
+
+def _inv_mlp_block(out, tree, torch_prefix, flax_prefix, n_layers, to_conv):
+    for i in range(n_layers):
+        ti = i * 3
+        out[f"{torch_prefix}.{ti}.weight"] = to_conv(
+            _get(tree, f"{flax_prefix}/dense{i}/kernel"))
+        try:
+            out[f"{torch_prefix}.{ti}.bias"] = _get(
+                tree, f"{flax_prefix}/dense{i}/bias")
+        except KeyError:
+            pass
+        out[f"{torch_prefix}.{ti + 1}.ln.weight"] = _get(
+            tree, f"{flax_prefix}/norm{i}/scale")
+        out[f"{torch_prefix}.{ti + 1}.ln.bias"] = _get(
+            tree, f"{flax_prefix}/norm{i}/bias")
+
+
+def _to_c1(k):  # Dense kernel (in, out) -> Conv1d weight (out, in, 1)
+    return np.asarray(k).T[:, :, None]
+
+
+def _to_c2(k):  # -> Conv2d weight (out, in, 1, 1)
+    return np.asarray(k).T[:, :, None, None]
+
+
+def convert_encoder_back(params: dict, npoint_count: int, irm_counts) -> dict:
+    """Flax encoder params -> reference torch state-dict layout (inverse
+    of convert_encoder), so models trained here run in the reference."""
+    out: dict = {}
+    out["point_mlp0.weight"] = _to_c1(_get(params, "point_mlp0/kernel"))
+    out["point_mlp0.bias"] = _get(params, "point_mlp0/bias")
+    for i in range(npoint_count):
+        _inv_mlp_block(out, params, f"downsampler.{i}.sa.mlp",
+                       f"down{i}/sa/mlp", 1, _to_c2)
+        for j in range(irm_counts[i]):
+            _inv_mlp_block(out, params, f"downsampler.{i}.irm.{j}.la.mlp",
+                           f"down{i}/irm{j}/la/mlp", 1, _to_c2)
+            _inv_mlp_block(out, params, f"downsampler.{i}.irm.{j}.pw_conv",
+                           f"down{i}/irm{j}/pw_conv", 2, _to_c1)
+    i = 0
+    while f"up{i}" in params:
+        _inv_mlp_block(out, params, f"upsampler.{i}.mlp", f"up{i}/mlp", 2,
+                       _to_c1)
+        i += 1
+    return out
+
+
+def convert_decoder_back(params: dict, attention_layers: int = 3) -> dict:
+    out: dict = {}
+    out["projection.weight"] = _to_c1(_get(params, "projection/kernel"))
+    out["projection.bias"] = _get(params, "projection/bias")
+    for i in range(attention_layers):
+        tb = f"descriptor_attention.{i}"
+        fb = f"attn{i}"
+        for attn in ("self_attn", "cross_attn"):
+            out[f"{tb}.{attn}.in_proj_weight"] = _get(
+                params, f"{fb}/{attn}/in_proj_kernel").T
+            out[f"{tb}.{attn}.in_proj_bias"] = _get(
+                params, f"{fb}/{attn}/in_proj_bias")
+            out[f"{tb}.{attn}.out_proj.weight"] = _get(
+                params, f"{fb}/{attn}/out_proj/kernel").T
+            out[f"{tb}.{attn}.out_proj.bias"] = _get(
+                params, f"{fb}/{attn}/out_proj/bias")
+        for ti, fn in ((0, "mlp0"), (2, "mlp1")):
+            out[f"{tb}.mlp.{ti}.weight"] = _get(params,
+                                                f"{fb}/{fn}/kernel").T
+            out[f"{tb}.mlp.{ti}.bias"] = _get(params, f"{fb}/{fn}/bias")
+        for norm in ("norm1", "norm2", "norm3"):
+            out[f"{tb}.{norm}.weight"] = _get(params, f"{fb}/{norm}/scale")
+            out[f"{tb}.{norm}.bias"] = _get(params, f"{fb}/{norm}/bias")
+    for tb, fb, names in (("similarity_head", "similarity_head",
+                           ("dense0", "dense1")),
+                          ("coarse_pairing_head", "coarse_pairing_head",
+                           ("dense0", "dense1")),
+                          ("loop_head.mlp", "loop_head", ("mlp0", "mlp1"))):
+        for ti, fn in zip((0, 2), names):
+            out[f"{tb}.{ti}.weight"] = _to_c1(_get(params, f"{fb}/{fn}/kernel"))
+            out[f"{tb}.{ti}.bias"] = _get(params, f"{fb}/{fn}/bias")
+    for ti, fn in ((0, "mlp0"), (2, "mlp1"), (4, "mlp2")):
+        out[f"offset_head.mlp.{ti}.weight"] = _to_c1(
+            _get(params, f"offset_head/{fn}/kernel"))
+        out[f"offset_head.mlp.{ti}.bias"] = _get(params,
+                                                 f"offset_head/{fn}/bias")
+    for name in ("downsample", "head"):
+        out[f"offset_head.{name}.weight"] = _to_c1(
+            _get(params, f"offset_head/{name}/kernel"))
+        out[f"offset_head.{name}.bias"] = _get(params,
+                                               f"offset_head/{name}/bias")
+    for ti, fn in ((0, "proj0"), (2, "proj1")):
+        out[f"loop_head.projection.{ti}.weight"] = _get(
+            params, f"loop_head/{fn}/kernel").T
+        out[f"loop_head.projection.{ti}.bias"] = _get(params,
+                                                      f"loop_head/{fn}/bias")
+    return out
+
+
+def save_torch_weight(path: str, enc_params, dec_params, args) -> None:
+    """Write weights in the reference's .pth schema
+    ({'encoder': sd, 'decoder': sd}, reference: pipeline/infer.py:63-65)."""
+    import torch
+
+    e = args.encoder
+    irm_counts = [len(r) - 1 for r in e.radius_list]
+    enc_sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+              convert_encoder_back(enc_params["params"], len(e.npoint),
+                                   irm_counts).items()}
+    dec_sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+              convert_decoder_back(dec_params["params"],
+                                   args.decoder.attention_layers).items()}
+    torch.save({"encoder": enc_sd, "decoder": dec_sd}, path)
+
+
 def load_torch_weight(path: str, args):
     """Load a reference-schema .pth weight file -> (enc_params, dec_params)
     as flax-ready {'params': ...} trees."""

@@ -73,6 +73,12 @@ class Trainer:
         os.makedirs(self.log_dir, exist_ok=True)
         self._metrics_file = open(
             os.path.join(self.log_dir, "metrics.jsonl"), "a")
+        # TensorBoard scalars (reference: trainer.py:98,186-199); optional
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(self.log_dir, "tb"))
+        except Exception:
+            self._tb = None
         self._snapshot_source()
 
         self._params = (enc_params, dec_params)
@@ -190,6 +196,10 @@ class Trainer:
                                sec_per_step=(time.time() - t0) / (i + 1))
                 self._metrics_file.write(json.dumps(summary) + "\n")
                 self._metrics_file.flush()
+                if self._tb is not None:
+                    for k, v in summary.items():
+                        self._tb.add_scalar(f"stage{self.stage}/{k}", v,
+                                            self.step)
                 logger.info("epoch %d step %d %s", self.epoch, self.step,
                             {k: round(v, 4) for k, v in summary.items()})
         logger.info("epoch %d done in %.1fs: %s", self.epoch,

@@ -177,3 +177,43 @@ def test_registration_parity(dec_pair):
     t_conf_scalar = simvec_to_num_np(t_conf.numpy().reshape(-1))
     assert abs(float(f_conf) - t_conf_scalar) < 1e-3
     assert abs(float(f_rmse) - float(t_rmse)) < 2e-3
+
+
+def test_weight_roundtrip(ref_modules, dec_pair, tmp_path):
+    """torch -> flax -> torch: state dicts identical; and the .pth save
+    reloads through the standard loader."""
+    import torch
+
+    from deeppointmap_tpu.models.weights import (convert_decoder_back,
+                                                 convert_encoder,
+                                                 convert_encoder_back,
+                                                 save_torch_weight)
+
+    tm_enc = _torch_encoder(ref_modules)
+    irm = [len(r) - 1 for r in ENC_CFG.encoder.radius_list]
+    flax_enc = convert_encoder(tm_enc.state_dict(), 3, irm)
+    back = convert_encoder_back(flax_enc, 3, irm)
+    sd = tm_enc.state_dict()
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(back[k], sd[k].numpy(), atol=1e-7, err_msg=k)
+
+    tm_dec, fm, params = dec_pair
+    back_dec = convert_decoder_back(params["params"], 2)
+    sd_dec = tm_dec.state_dict()
+    assert set(back_dec) == set(sd_dec)
+    for k in sd_dec:
+        np.testing.assert_allclose(back_dec[k], sd_dec[k].numpy(), atol=1e-7,
+                                   err_msg=k)
+
+    # save in the reference schema and reload through our loader
+    cfg = Config(encoder=ENC_CFG.encoder, decoder=DEC_CFG.decoder,
+                 loss=DEC_CFG.loss)
+    path = str(tmp_path / "w.pth")
+    save_torch_weight(path, {"params": flax_enc},
+                      {"params": params["params"]}, cfg)
+    from deeppointmap_tpu.models.weights import load_torch_weight
+    ep2, dp2 = load_torch_weight(path, cfg)
+    import jax
+    for a, b in zip(jax.tree.leaves(ep2["params"]), jax.tree.leaves(flax_enc)):
+        np.testing.assert_allclose(a, b, atol=1e-7)
