@@ -28,6 +28,25 @@ class ResultLogger:
         self.posegraph_map = posegraph_map
         self.time_recorder: Dict[str, List[float]] = {}
 
+    def interp_pose(self, timestamp: float) -> np.ndarray:
+        """Cubic-spline position interpolation from the latest poses
+        (reference: recoder.py:44-55). Returns (3,) position."""
+        from scipy.interpolate import CubicSpline
+
+        pairs = sorted(
+            ((s.timestamp, s.SE3_pred[:3, 3])
+             for s in self.posegraph_map.get_all_scans()
+             if s.SE3_pred is not None),
+            key=lambda tp: tp[0])[-3:]
+        if len(pairs) == 1:
+            return pairs[0][1]
+        xs = [t for t, _ in pairs]
+        ys = np.stack([p for _, p in pairs], 0)
+        if len(pairs) == 2:  # spline needs >= 3 knots; fall back to linear
+            a = (timestamp - xs[0]) / max(xs[1] - xs[0], 1e-9)
+            return (1 - a) * ys[0] + a * ys[1]
+        return CubicSpline(xs, ys, axis=0)([timestamp])[0]
+
     # ------------------------------------------------------------- perf
     def record_perf(self, name: str, time_s: float) -> None:
         self.time_recorder.setdefault(name, []).append(time_s)

@@ -124,3 +124,17 @@ def test_nonkeyframe_propagation_after_optim():
     np.testing.assert_allclose(
         pg.get_scanpack(nk.token).SE3_pred,
         pg.get_scanpack(toks[4]).SE3_pred @ Z, atol=1e-9)
+
+
+def test_interp_pose():
+    from deeppointmap_tpu.slam.recoder import ResultLogger
+
+    pg = PoseGraph(agent_id=0)
+    _chain(pg, 0, 5)
+    for i, s in enumerate(sorted(pg.get_all_scans(),
+                                 key=lambda s: s.timestep)):
+        s.timestamp = float(i)
+    rl = ResultLogger(None, None, pg, ".")
+    p = rl.interp_pose(3.5)
+    # chain moves 1m/step in +x: position at t=3.5 ~ x=3.5
+    assert abs(p[0] - 3.5) < 0.2
