@@ -125,7 +125,15 @@ class Trainer:
         schedule = build_schedule(cfg.get("scheduler"), lr,
                                   self._steps_per_epoch(), cfg.num_epochs)
         base_opt = build_optimizer(cfg.optimizer, schedule)
-        self.optimizer = optax.masked(base_opt, mask_fn(self._params))
+        # freeze via multi_transform + set_to_zero. NOT optax.masked: masked
+        # leaves pass their raw gradient through as the update (masked only
+        # skips the transformation), which slowly applies gradient ascent
+        # to "frozen" params -- this silently destroyed the registration
+        # backbone during stage-2 loop training.
+        labels = jax.tree.map(lambda trainable: "train" if trainable
+                              else "freeze", mask_fn(self._params))
+        self.optimizer = optax.multi_transform(
+            {"train": base_opt, "freeze": optax.set_to_zero()}, labels)
         opt_state = self.optimizer.init(self._params)
         self.state = TrainState(self._params[0], self._params[1], opt_state,
                                 np.int32(self.step))

@@ -167,3 +167,36 @@ def test_registration_loss_decreases(setup):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_stage2_freezes_backbone(setup):
+    """Stage-2 loop training must leave the encoder and all non-loop
+    decoder modules bit-identical (regression: optax.masked passes raw
+    gradients through for masked-out leaves)."""
+    import jax
+
+    args, ds, rng = setup
+    from deeppointmap_tpu.pipeline.common import init_params
+    from deeppointmap_tpu.pipeline.trainer import Trainer
+
+    enc, dec, ep, dp = init_params(args, seed=2)
+    # snapshot to host BEFORE training: the train step donates the state
+    # buffers, deleting the original device arrays
+    ep_snap = jax.tree.map(np.asarray, ep)
+    dp_snap = jax.tree.map(np.asarray, dp)
+    trainer = Trainer(args, ds, enc, dec, ep, dp, rng=rng)
+    trainer.stage = 2
+    trainer._steps_per_epoch = lambda: 3
+    trainer._setup_stage()
+    trainer.train_one_epoch()
+
+    assert all(np.array_equal(a, np.asarray(b)) for a, b in zip(
+        jax.tree.leaves(ep_snap), jax.tree.leaves(trainer.state.enc_params)))
+    for key in dp_snap["params"]:
+        same = all(np.array_equal(a, np.asarray(b)) for a, b in zip(
+            jax.tree.leaves(dp_snap["params"][key]),
+            jax.tree.leaves(trainer.state.dec_params["params"][key])))
+        if key.startswith("loop"):
+            assert not same, "loop head must train in stage 2"
+        else:
+            assert same, f"{key} moved during stage-2 training"
