@@ -81,12 +81,21 @@ def _measure(q):
                          cand_desc, cand_valid, cand_pcd, cand_pvalid,
                          num_sample=0.5)
 
-    n_iter = 20
+    # steady state, double-buffered like the MT odometer stage: dispatch
+    # frame i+1 before fetching frame i, overlapping the two tunnel
+    # round-trips with device compute
+    n_iter = 30
     t0 = time.perf_counter()
+    prev = None
     for i in range(n_iter):
         buf, v = scans[i % 2]
-        engine.odometry_step(buf[None], v[None], cand_desc, cand_valid,
-                             cand_pcd, cand_pvalid, num_sample=0.5)
+        cur = engine.odometry_step_async(buf[None], v[None], cand_desc,
+                                         cand_valid, cand_pcd, cand_pvalid,
+                                         num_sample=0.5)
+        if prev is not None:
+            prev()
+        prev = cur
+    prev()
     dt = (time.perf_counter() - t0) / n_iter
     q.put({"scans_per_sec": 1.0 / dt})
 

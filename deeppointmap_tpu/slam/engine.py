@@ -143,7 +143,9 @@ class InferenceEngine:
             return jax.device_get(out)
 
         chunk = self.extract_chunk
-        descs, ovs, pvs = [], [], []
+        pending = []  # dispatch ALL chunks async, then ONE batched fetch:
+        # each separately-awaited fetch pays a full host<->device round
+        # trip, which dominates at tunnel latencies
         for start in range(0, b, chunk):
             pc = points[start:start + chunk]
             vc = valid[start:start + chunk]
@@ -153,8 +155,11 @@ class InferenceEngine:
                     [pc, np.zeros((chunk - nb, *pc.shape[1:]), pc.dtype)], 0)
                 vc = np.concatenate(
                     [vc, np.zeros((chunk - nb, vc.shape[1]), bool)], 0)
-            d, ov, pv = jax.device_get(
-                self._extract_fn(jnp.asarray(pc), jnp.asarray(vc)))
+            pending.append(
+                (nb, self._extract_fn(jnp.asarray(pc), jnp.asarray(vc))))
+        fetched = jax.device_get([out for _, out in pending])
+        descs, ovs, pvs = [], [], []
+        for (nb, _), (d, ov, pv) in zip(pending, fetched):
             descs.append(d[:nb])
             ovs.append(ov[:nb])
             pvs.append(pv[:nb])
@@ -215,14 +220,15 @@ class InferenceEngine:
         info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t)
         return R, t, conf, rmse, info
 
-    def register_with_info(self, src_desc, src_valid, dst_desc, dst_valid,
-                           src_pcd, src_pvalid, dst_pcd, dst_pvalid,
-                           num_sample=0.5, src_token=None, dst_token=None):
-        """Registration + 6x6 information matrix in one device call
-        (used by odometry/mapping/loop edges -- the reference computes
-        them back-to-back at odometry.py:108-115, mapping.py:152-159,
-        loop_closure.py:240-247). Pass src_token/dst_token to reuse
-        device-cached per-scan point clouds."""
+    def register_with_info_async(self, src_desc, src_valid, dst_desc,
+                                 dst_valid, src_pcd, src_pvalid, dst_pcd,
+                                 dst_pvalid, num_sample=0.5, src_token=None,
+                                 dst_token=None):
+        """Dispatch registration + info matrix WITHOUT waiting; returns a
+        zero-arg resolver that fetches and formats the result. Dispatch and
+        fetch each cost a full tunnel round-trip (~22/34 ms), so a caller
+        processing a stream should dispatch item i+1 before resolving
+        item i."""
         m_real = int(src_valid.sum())
         n_real = int(dst_valid.sum())
         src, sv, mb = self._pad_tokens(src_desc, src_valid)
@@ -234,16 +240,33 @@ class InferenceEngine:
                                         static_argnames=("num_pairs",))
         skey = lambda name: (src_token, name) if src_token is not None else None
         dkey = lambda name: (dst_token, name) if dst_token is not None else None
-        R, t, conf, rmse, info = jax.device_get(self._reg_info_fn(
+        out = self._reg_info_fn(
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(sv),
             jnp.asarray(dv),
             self._dev(src_pcd, skey("pcd")), self._dev(src_pvalid, skey("pv")),
             self._dev(dst_pcd, dkey("pcd")), self._dev(dst_pvalid, dkey("pv")),
-            num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual)))
-        SE3 = np.eye(4)
-        SE3[:3, :3] = np.asarray(R, np.float64)
-        SE3[:3, 3] = np.asarray(t, np.float64)
-        return SE3, float(conf), float(rmse), np.asarray(info, np.float64)
+            num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
+
+        def resolve():
+            R, t, conf, rmse, info = jax.device_get(out)
+            SE3 = np.eye(4)
+            SE3[:3, :3] = np.asarray(R, np.float64)
+            SE3[:3, 3] = np.asarray(t, np.float64)
+            return SE3, float(conf), float(rmse), np.asarray(info, np.float64)
+
+        return resolve
+
+    def register_with_info(self, src_desc, src_valid, dst_desc, dst_valid,
+                           src_pcd, src_pvalid, dst_pcd, dst_pvalid,
+                           num_sample=0.5, src_token=None, dst_token=None):
+        """Registration + 6x6 information matrix in one device call
+        (used by odometry/mapping/loop edges -- the reference computes
+        them back-to-back at odometry.py:108-115, mapping.py:152-159,
+        loop_closure.py:240-247). Pass src_token/dst_token to reuse
+        device-cached per-scan point clouds."""
+        return self.register_with_info_async(
+            src_desc, src_valid, dst_desc, dst_valid, src_pcd, src_pvalid,
+            dst_pcd, dst_pvalid, num_sample, src_token, dst_token)()
 
     # ------------------------------------------------- fused odometry step
     def _odometry_impl(self, points, valid, cand_desc, cand_kvalid,
@@ -260,6 +283,38 @@ class InferenceEngine:
                                   pts_valid[0], R, t)
         return desc, dvalid, pts_valid, R, t, conf, rmse, info
 
+    def odometry_step_async(self, points: np.ndarray, valid: np.ndarray,
+                            cand_desc, cand_kvalid, cand_pcd, cand_pvalid,
+                            num_sample=0.5, cand_token=None):
+        """Dispatch the fused odometry step WITHOUT waiting; returns a
+        zero-arg resolver. Lets a streaming caller overlap frame i+1's
+        dispatch (+ device compute) with frame i's result fetch -- the
+        two tunnel round-trips otherwise serialize per frame."""
+        m_real = int(cand_kvalid.sum())
+        src, sv, mb = self._pad_tokens(cand_desc, cand_kvalid)
+        n_tok = self.n_tokens
+        k_static = num_pairs_for(mb, n_tok, num_sample)
+        k_actual = num_pairs_for(min(m_real, mb), n_tok, num_sample)
+        ck = lambda name: (cand_token, name) if cand_token is not None else None
+        out = self._odometry_fn(
+            jnp.asarray(points), jnp.asarray(valid),
+            self._dev(src, ck("kp_pad")), self._dev(sv, ck("kv_pad")),
+            self._dev(cand_pcd, ck("pcd")),
+            self._dev(cand_pvalid, ck("pv")),
+            num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
+
+        def resolve():
+            desc, dvalid, pts_valid, R, t, conf, rmse, info = \
+                jax.device_get(out)
+            SE3 = np.eye(4)
+            SE3[:3, :3] = np.asarray(R, np.float64)
+            SE3[:3, 3] = np.asarray(t, np.float64)
+            return (np.asarray(desc), np.asarray(dvalid),
+                    np.asarray(pts_valid), SE3, float(conf), float(rmse),
+                    np.asarray(info, np.float64))
+
+        return resolve
+
     def odometry_step(self, points: np.ndarray, valid: np.ndarray,
                       cand_desc, cand_kvalid, cand_pcd, cand_pvalid,
                       num_sample=0.5, cand_token=None):
@@ -272,24 +327,9 @@ class InferenceEngine:
         mode); candidate arrays unpadded. Returns (descriptors
         (1, K, C+3), desc_valid, filtered point validity (1, P), SE3
         (4,4) with new = SE3 @ cand, confidence, rmse, info (6,6))."""
-        m_real = int(cand_kvalid.sum())
-        src, sv, mb = self._pad_tokens(cand_desc, cand_kvalid)
-        n_tok = self.n_tokens
-        k_static = num_pairs_for(mb, n_tok, num_sample)
-        k_actual = num_pairs_for(min(m_real, mb), n_tok, num_sample)
-        ck = lambda name: (cand_token, name) if cand_token is not None else None
-        desc, dvalid, pts_valid, R, t, conf, rmse, info = jax.device_get(
-            self._odometry_fn(
-                jnp.asarray(points), jnp.asarray(valid),
-                self._dev(src, ck("kp_pad")), self._dev(sv, ck("kv_pad")),
-                self._dev(cand_pcd, ck("pcd")),
-                self._dev(cand_pvalid, ck("pv")),
-                num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual)))
-        SE3 = np.eye(4)
-        SE3[:3, :3] = np.asarray(R, np.float64)
-        SE3[:3, 3] = np.asarray(t, np.float64)
-        return (np.asarray(desc), np.asarray(dvalid), np.asarray(pts_valid),
-                SE3, float(conf), float(rmse), np.asarray(info, np.float64))
+        return self.odometry_step_async(points, valid, cand_desc,
+                                        cand_kvalid, cand_pcd, cand_pvalid,
+                                        num_sample, cand_token)()
 
     # ------------------------------------------------------ loop scoring
     def _loop_impl(self, src, dst, sv, dv):

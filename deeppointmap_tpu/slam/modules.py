@@ -85,25 +85,40 @@ class OdometryModule:
                            d.min())
         return [key_frames[i] for i in idx]
 
-    def odometry(self, new_scan: ScanPack, candidates: List[ScanPack]
-                 ) -> List[PoseGraphEdge]:
-        """Register new scan against each candidate; build odom edges with
-        information matrices (reference: odometry.py:103-127)."""
+    def dispatch(self, new_scan: ScanPack,
+                 candidates: List[ScanPack]) -> list:
+        """Dispatch registration against each candidate without waiting;
+        returns per-candidate resolvers (see
+        InferenceEngine.register_with_info_async)."""
         ss = self.args.slam_system
+        return [self.engine.register_with_info_async(
+            cand.key_points, cand.key_valid,
+            new_scan.key_points, new_scan.key_valid,
+            cand.full_pcd, cand.full_valid,
+            new_scan.full_pcd, new_scan.full_valid,
+            num_sample=ss.registration_sample_odometer,
+            src_token=cand.token, dst_token=new_scan.token)
+            for cand in candidates]
+
+    def resolve(self, new_scan: ScanPack, candidates: List[ScanPack],
+                resolvers: list) -> List[PoseGraphEdge]:
+        """Fetch dispatched registrations and build odom edges with
+        information matrices (reference: odometry.py:103-127)."""
         edges = []
-        for cand in candidates:
-            SE3, conf, rmse, info = self.engine.register_with_info(
-                cand.key_points, cand.key_valid,
-                new_scan.key_points, new_scan.key_valid,
-                cand.full_pcd, cand.full_valid,
-                new_scan.full_pcd, new_scan.full_valid,
-                num_sample=ss.registration_sample_odometer,
-                src_token=cand.token, dst_token=new_scan.token)
+        for cand, res in zip(candidates, resolvers):
+            SE3, conf, rmse, info = res()
             edges.append(PoseGraphEdge(
                 src_scan_token=cand.token, dst_scan_token=new_scan.token,
                 SE3=se3m.inv(SE3), information_mat=info, type="odom",
                 confidence=conf, rmse=rmse))
         return edges
+
+    def odometry(self, new_scan: ScanPack, candidates: List[ScanPack]
+                 ) -> List[PoseGraphEdge]:
+        """Register new scan against each candidate; build odom edges with
+        information matrices (reference: odometry.py:103-127)."""
+        return self.resolve(new_scan, candidates,
+                            self.dispatch(new_scan, candidates))
 
     def process(self, new_scan: ScanPack) -> List[PoseGraphEdge]:
         return self.odometry(new_scan, self.search_candidates(new_scan))

@@ -285,23 +285,45 @@ class SlamSystem:
                 q_out.put(EXIT_CODE.exit)
 
     def _mt_odometer(self, q_in, q_out):
+        """Depth-1 software pipeline: dispatch frame i+1's registration to
+        the device BEFORE fetching frame i's result, overlapping the two
+        tunnel round-trips (each ~22-34 ms) with device compute. The
+        candidate set for frame i+1 therefore sees the pose graph one
+        frame staler than in sequential mode -- the same staleness the
+        reference's queued MT threads already have (core.py:82-358)."""
+        pending = None  # (scan, candidates, resolvers, t_dispatch)
+
+        def flush():
+            nonlocal pending
+            scan, cands, resolvers, perf_t = pending
+            pending = None
+            edges = self.odometry.resolve(scan, cands, resolvers)
+            self.result_logger.record_perf("odometer",
+                                           time.perf_counter() - perf_t)
+            q_out.put((scan, edges[0]))
+
         while True:
             item = q_in.get()
             if isinstance(item, EXIT_CODE):
+                if pending is not None:
+                    flush()
                 q_out.put(item)
                 if item == EXIT_CODE.exit:
                     break
                 continue
             new_scan = item
             perf_t = time.perf_counter()
-            odom_edges = self.odometry.process(new_scan)
-            if not odom_edges:
+            candidates = self.odometry.search_candidates(new_scan)
+            if not candidates:
+                if pending is not None:
+                    flush()
                 self._first_scan(new_scan)
                 self._upload(new_scan, None)
                 continue
-            self.result_logger.record_perf("odometer",
-                                           time.perf_counter() - perf_t)
-            q_out.put((new_scan, odom_edges[0]))
+            resolvers = self.odometry.dispatch(new_scan, candidates)
+            if pending is not None:
+                flush()
+            pending = (new_scan, candidates, resolvers, perf_t)
 
     def _mt_mapping(self, q_in, q_out):
         while True:

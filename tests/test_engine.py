@@ -97,3 +97,30 @@ def test_odometry_step_matches_unfused(engine):
     np.testing.assert_allclose(SE3_f, SE3_u, atol=1e-4)
     assert conf_f == pytest.approx(conf_u, abs=1e-5)
     np.testing.assert_allclose(info_f, info_u, rtol=1e-4, atol=1e-2)
+
+
+def test_async_dispatch_overlap(engine):
+    """Two odometry steps dispatched before either is resolved give the
+    same results as sequential sync calls (the MT odometer's depth-1
+    software pipeline)."""
+    rng = np.random.default_rng(4)
+    pad = 4096
+    p1, v1 = _cloud(rng, 1100, pad)
+    p2, v2 = _cloud(rng, 1250, pad)
+    p3, v3 = _cloud(rng, 1400, pad)
+    d1, ov1, pv1 = engine.extract(p1[None], v1[None])
+
+    r_a = engine.odometry_step_async(p2[None], v2[None], d1[0], ov1[0],
+                                     p1, pv1[0], num_sample=0.5)
+    r_b = engine.odometry_step_async(p3[None], v3[None], d1[0], ov1[0],
+                                     p1, pv1[0], num_sample=0.5)
+    out_a, out_b = r_a(), r_b()
+
+    ref_a = engine.odometry_step(p2[None], v2[None], d1[0], ov1[0],
+                                 p1, pv1[0], num_sample=0.5)
+    ref_b = engine.odometry_step(p3[None], v3[None], d1[0], ov1[0],
+                                 p1, pv1[0], num_sample=0.5)
+    for got, ref in [(out_a, ref_a), (out_b, ref_b)]:
+        np.testing.assert_allclose(got[3], ref[3], atol=1e-6)   # SE3
+        assert got[4] == pytest.approx(ref[4], abs=1e-7)        # conf
+        np.testing.assert_allclose(got[6], ref[6], rtol=1e-6)   # info
