@@ -33,7 +33,6 @@ logger = logging.getLogger(__name__)
 
 
 class SlamSystem:
-    EXTRACTOR_BATCHSIZE = 32
     MAX_CAP_QUEUE = 50
 
     def __init__(self, args, engine: InferenceEngine, system_id: int,
@@ -200,20 +199,26 @@ class SlamSystem:
 
     # ----------------------------------------------------------- pipeline
     def MT_Init(self) -> None:
-        """Spawn the 6-stage pipeline (reference: core.py:82-109)."""
+        """Spawn the pipelined mode (reference: core.py:82-109).
+
+        Stage layout differs from the reference's 6 stages: extraction and
+        registration run FUSED inside the odometer stage (one device call
+        per frame, see engine.odometry_step_async) because on this
+        machine's high-latency device link every extra dispatch+fetch pair
+        costs more than the extraction compute itself. The reference's
+        separate batching extractor (core.py:135-186) is strictly slower
+        here -- measured 13.5 vs 20 scans/s."""
         self._q_in = queue.Queue()
-        self._q_pre_ext = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
-        self._q_ext_odo = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
+        self._q_pre_odo = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
         self._q_odo_map = queue.Queue(maxsize=1)   # backpressure
         self._q_map_bak = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
         self._q_bak_out = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
         self._threads = [
             threading.Thread(target=self._mt_todevice,
-                             args=(self._q_in, self._q_pre_ext), daemon=True),
-            threading.Thread(target=self._mt_extractor,
-                             args=(self._q_pre_ext, self._q_ext_odo), daemon=True),
+                             args=(self._q_in, self._q_pre_odo), daemon=True),
             threading.Thread(target=self._mt_odometer,
-                             args=(self._q_ext_odo, self._q_odo_map), daemon=True),
+                             args=(self._q_pre_odo, self._q_odo_map),
+                             daemon=True),
             threading.Thread(target=self._mt_mapping,
                              args=(self._q_odo_map, self._q_map_bak), daemon=True),
             threading.Thread(target=self._mt_backend,
@@ -252,55 +257,34 @@ class SlamSystem:
                                            time.perf_counter() - perf_t)
             q_out.put((point_cloud, R, T, valid))
 
-    def _mt_extractor(self, q_in, q_out):
-        """Dynamic batching up to EXTRACTOR_BATCHSIZE
-        (reference: core.py:135-186); batches pad to the engine's batch
-        buckets so only a few shapes compile."""
-        will_exit = False
-        while not will_exit:
-            items = [q_in.get()]
-            while q_in.qsize() > 0 and len(items) < self.EXTRACTOR_BATCHSIZE:
-                items.append(q_in.get())
-            batch = []
-            for item in items:
-                if isinstance(item, EXIT_CODE):
-                    if item == EXIT_CODE.exit:
-                        will_exit = True
-                    else:
-                        q_out.put(item)
-                else:
-                    batch.append(item)
-            perf_t = time.perf_counter()
-            if batch:
-                pcs = np.concatenate([b[0] for b in batch], 0)
-                vals = np.concatenate([b[3] for b in batch], 0)
-                descs, dvalids, pvalids = self.extraction.process(pcs, vals)
-                for (pc, R, T, val), desc, dv, pv in zip(
-                        batch, descs, dvalids, pvalids):
-                    scan = self._make_scan(desc, dv, pc[0], pv, R, T)
-                    q_out.put(scan)
-                self.result_logger.record_perf(
-                    "extract", time.perf_counter() - perf_t)
-            if will_exit:
-                q_out.put(EXIT_CODE.exit)
-
     def _mt_odometer(self, q_in, q_out):
-        """Depth-1 software pipeline: dispatch frame i+1's registration to
-        the device BEFORE fetching frame i's result, overlapping the two
-        tunnel round-trips (each ~22-34 ms) with device compute. The
-        candidate set for frame i+1 therefore sees the pose graph one
-        frame staler than in sequential mode -- the same staleness the
-        reference's queued MT threads already have (core.py:82-358)."""
-        pending = None  # (scan, candidates, resolvers, t_dispatch)
+        """Fused extraction + registration with a depth-1 software
+        pipeline: frame i+1's device call is dispatched BEFORE frame i's
+        result is fetched, overlapping the two tunnel round-trips
+        (~22/34 ms each) with device compute. Candidate search for frame
+        i+1 therefore sees the pose graph one frame staler than in
+        sequential mode -- the same class of staleness the reference's
+        queued MT threads already have (core.py:82-358)."""
+        ss = self.args.slam_system
+        pending = None  # (resolver, pc, R, T, cand, extra_cands, perf_t)
 
         def flush():
             nonlocal pending
-            scan, cands, resolvers, perf_t = pending
+            resolver, pc, R, T, cand, extras, perf_t = pending
             pending = None
-            edges = self.odometry.resolve(scan, cands, resolvers)
+            desc, dvalid, pts_valid, SE3, conf, rmse, info = resolver()
+            new_scan = self._make_scan(desc[0], dvalid[0], pc[0],
+                                       pts_valid[0], R, T)
+            odom_edge = PoseGraphEdge(
+                src_scan_token=cand.token, dst_scan_token=new_scan.token,
+                SE3=se3m.inv(SE3), information_mat=info, type="odom",
+                confidence=conf, rmse=rmse)
+            # extra candidates (odometer_candidates_num > 1): unfused path
+            for extra in extras:
+                self.odometry.odometry(new_scan, [extra])
             self.result_logger.record_perf("odometer",
                                            time.perf_counter() - perf_t)
-            q_out.put((scan, edges[0]))
+            q_out.put((new_scan, odom_edge))
 
         while True:
             item = q_in.get()
@@ -311,19 +295,33 @@ class SlamSystem:
                 if item == EXIT_CODE.exit:
                     break
                 continue
-            new_scan = item
+            point_cloud, R, T, valid = item
             perf_t = time.perf_counter()
-            candidates = self.odometry.search_candidates(new_scan)
+            candidates = self.odometry.search_candidates(
+                agent_id=self.system_id)
             if not candidates:
                 if pending is not None:
                     flush()
+                descriptors, desc_valid, pts_valid = self.extraction.process(
+                    point_cloud, valid)
+                new_scan = self._make_scan(descriptors[0], desc_valid[0],
+                                           point_cloud[0], pts_valid[0],
+                                           R, T)
+                self.result_logger.record_perf(
+                    "extract", time.perf_counter() - perf_t)
                 self._first_scan(new_scan)
                 self._upload(new_scan, None)
                 continue
-            resolvers = self.odometry.dispatch(new_scan, candidates)
+            cand = candidates[0]
+            resolver = self.engine.odometry_step_async(
+                point_cloud, valid, cand.key_points, cand.key_valid,
+                cand.full_pcd, cand.full_valid,
+                num_sample=ss.registration_sample_odometer,
+                cand_token=cand.token)
             if pending is not None:
                 flush()
-            pending = (new_scan, candidates, resolvers, perf_t)
+            pending = (resolver, point_cloud, R, T, cand,
+                       candidates[1:], perf_t)
 
     def _mt_mapping(self, q_in, q_out):
         while True:
