@@ -109,6 +109,11 @@ TPU_DEFAULTS = Config(
     loop_batch_buckets=[1, 4, 16, 64],
     # bfloat16 matmuls inside the network (accumulate fp32)
     bf16=True,
+    # MT odometer: frames in flight on the device before the oldest
+    # result is fetched. 1 = classic double buffering; deeper pipelines
+    # showed no measurable gain on this link (tunnel-load variance
+    # dominates) and add candidate staleness, so 1 is the default.
+    odometer_pipeline_depth=1,
 )
 
 

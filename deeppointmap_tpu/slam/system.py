@@ -258,20 +258,23 @@ class SlamSystem:
             q_out.put((point_cloud, R, T, valid))
 
     def _mt_odometer(self, q_in, q_out):
-        """Fused extraction + registration with a depth-1 software
-        pipeline: frame i+1's device call is dispatched BEFORE frame i's
-        result is fetched, overlapping the two tunnel round-trips
-        (~22/34 ms each) with device compute. Candidate search for frame
-        i+1 therefore sees the pose graph one frame staler than in
+        """Fused extraction + registration with a software pipeline of
+        configurable depth (tpu.odometer_pipeline_depth, default 1): up to
+        `depth` frames' device calls are in flight before the oldest
+        result is fetched, overlapping dispatch/fetch round-trips
+        (~22/34 ms each) with device compute. Candidate search therefore
+        sees the pose graph up to `depth` frames staler than in
         sequential mode -- the same class of staleness the reference's
-        queued MT threads already have (core.py:82-358)."""
+        queued MT threads already have (core.py:82-358). Depths >1 showed
+        no measurable gain on this link (tunnel-load variance dominates);
+        the knob exists for lower-latency links."""
         ss = self.args.slam_system
-        pending = None  # (resolver, pc, R, T, cand, extra_cands, perf_t)
+        tpu_cfg = self.args.get("tpu") or {}
+        depth = int(tpu_cfg.get("odometer_pipeline_depth", 1))
+        pending = []  # FIFO of (resolver, pc, R, T, cand, extras, perf_t)
 
         def flush():
-            nonlocal pending
-            resolver, pc, R, T, cand, extras, perf_t = pending
-            pending = None
+            resolver, pc, R, T, cand, extras, perf_t = pending.pop(0)
             desc, dvalid, pts_valid, SE3, conf, rmse, info = resolver()
             new_scan = self._make_scan(desc[0], dvalid[0], pc[0],
                                        pts_valid[0], R, T)
@@ -289,7 +292,7 @@ class SlamSystem:
         while True:
             item = q_in.get()
             if isinstance(item, EXIT_CODE):
-                if pending is not None:
+                while pending:
                     flush()
                 q_out.put(item)
                 if item == EXIT_CODE.exit:
@@ -300,7 +303,7 @@ class SlamSystem:
             candidates = self.odometry.search_candidates(
                 agent_id=self.system_id)
             if not candidates:
-                if pending is not None:
+                while pending:
                     flush()
                 descriptors, desc_valid, pts_valid = self.extraction.process(
                     point_cloud, valid)
@@ -318,10 +321,10 @@ class SlamSystem:
                 cand.full_pcd, cand.full_valid,
                 num_sample=ss.registration_sample_odometer,
                 cand_token=cand.token)
-            if pending is not None:
+            pending.append((resolver, point_cloud, R, T, cand,
+                            candidates[1:], perf_t))
+            while len(pending) > depth:
                 flush()
-            pending = (resolver, point_cloud, R, T, cand,
-                       candidates[1:], perf_t)
 
     def _mt_mapping(self, q_in, q_out):
         while True:
