@@ -107,8 +107,12 @@ TPU_DEFAULTS = Config(
     reg_buckets=[256, 512, 1024, 2048, 4096],
     # batch bucket sizes for loop-closure candidate scoring
     loop_batch_buckets=[1, 4, 16, 64],
-    # bfloat16 matmuls inside the network (accumulate fp32)
+    # bfloat16 matmuls inside the network (accumulate fp32); false forces
+    # full-precision fp32 MXU emulation (slower, precision escape hatch)
     bf16=True,
+    # data-parallel training width: "auto" = all chips on TPU hardware,
+    # or an explicit device count (CPU tests/dryruns pass an int)
+    data_parallel="auto",
     # MT odometer: frames in flight on the device before the oldest
     # result is fetched. 1 = classic double buffering; deeper pipelines
     # showed no measurable gain on this link (tunnel-load variance

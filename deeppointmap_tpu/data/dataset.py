@@ -188,6 +188,11 @@ class SlamDatasets:
         self.pcd_range = _length_range(self.dataset_list)
         self.frame_distance = get_frame_dis(self.dataset_list)
         self._getitem_method = self._getitem_registration
+        #: when set, registration items use this S instead of sampling it.
+        #: The data-parallel trainer fixes one S per global batch so every
+        #: per-device shard compiles to the same static shape (the torch
+        #: reference tolerates ragged per-rank shapes; XLA SPMD does not).
+        self.forced_S: Optional[int] = None
 
     def _load_datasets(self) -> List[BasicDataset]:
         out = []
@@ -211,6 +216,15 @@ class SlamDatasets:
     def loop_detection(self) -> None:
         self._getitem_method = self._getitem_loop_detection
 
+    def sample_S(self) -> int:
+        """Draw map size S in [2, K], biased toward pairs
+        (reference: body.py:98-102)."""
+        cfg = self.registration_cfg
+        S = int(self.rng.integers(2, cfg.K + 1))
+        if self.rng.random() < 0.34:
+            S = 2
+        return S
+
     # --------------------------------------------------------- getitems
     def _locate(self, index: int):
         did = int(np.sum(self.pcd_range <= index) - 1)
@@ -223,9 +237,8 @@ class SlamDatasets:
         """S in [2, K] nearby frames x num_map groups
         (reference: body.py:97-115)."""
         cfg = self.registration_cfg
-        S = int(self.rng.integers(2, cfg.K + 1))
-        if self.rng.random() < 0.34:
-            S = 2
+        S = int(self.forced_S) if self.forced_S is not None else \
+            self.sample_S()
         num_map = (cfg.K_max // S) if cfg.fill else 1
         info = dict(dsf_index=[], refined_SE3_file=[], num_map=num_map)
         frames = []

@@ -91,7 +91,10 @@ class OffsetHead(nn.Module):
 class OverlapHead(nn.Module):
     """Shared token MLP -> mean-pool -> concat -> MLP -> sigmoid scalar
     (reference: network/decoder/heads.py:45-69). Token mean is mask-free to
-    match the reference exactly; all call sites feed fully-valid tiles."""
+    match the reference exactly. Caveat shared with the reference: a sparse
+    scan whose descriptor set has invalid (padded) tokens contributes them
+    to the mean; normal 256-token scans from full-density LiDAR are always
+    fully valid, but very sparse inputs would bias the overlap score."""
 
     emb_dim: int
 

@@ -12,7 +12,7 @@ covariance with float32 MXU accumulation after *centering* (which removes
 the catastrophic-cancellation risk the fp64 was guarding against) and run
 `jnp.linalg.svd` on the 3x3 in fp32. A determinant correction guards
 against reflections (improvement over the reference, which omits it).
-Accuracy vs a NumPy fp64 oracle is covered by tests/test_kabsch.py.
+Accuracy vs a NumPy fp64 oracle is covered by tests/test_ops.py.
 """
 
 from __future__ import annotations

@@ -156,8 +156,18 @@ def make_loop_train_step(
         p = jnp.clip(prob, eps, 1 - eps)
         y = batch.label
         bce = -(y * jnp.log(p) + (1 - y) * jnp.log(1 - p)).mean()
-        acc = jnp.mean(((p > 0.5) == (y > 0.5)).astype(jnp.float32))
-        return bce, {"loss": bce, "acc": acc}
+        pred = p > 0.5
+        pos = y > 0.5
+        acc = jnp.mean((pred == pos).astype(jnp.float32))
+        # precision / recall / false-positive count, matching the
+        # reference's stage-2 scalars (model_pipeline.py:175-180)
+        tp = jnp.sum(pred & pos).astype(jnp.float32)
+        fp = jnp.sum(pred & ~pos).astype(jnp.float32)
+        fn = jnp.sum(~pred & pos).astype(jnp.float32)
+        precision = tp / jnp.maximum(tp + fp, 1.0)
+        recall = tp / jnp.maximum(tp + fn, 1.0)
+        return bce, {"loss": bce, "acc": acc, "precision": precision,
+                     "recall": recall, "fp": fp}
 
     def train_step(state: TrainState, batch: LoopBatch):
         params = (state.enc_params, state.dec_params)

@@ -10,8 +10,11 @@ reference uses TensorBoard, trainer.py:186-199).
 
 TPU-first notes: the jitted train steps are compiled per (S, S1-agnostic)
 shape bucket -- the curriculum's K growth adds a handful of compiles per
-stage; bf16 autocast is unnecessary (MXU matmuls already run bf16 via the
-default matmul precision).
+stage. Data parallelism replaces the reference's DDP/NCCL
+(trainer.py:239-242): batches shard over a 1-D `dp` mesh
+(tpu.data_parallel = "auto" uses every TPU chip), params stay replicated,
+and XLA inserts the gradient all-reduce. The reference's AMP autocast
+(trainer.py:45-48) maps to the tpu.bf16 matmul-precision knob.
 """
 
 from __future__ import annotations
@@ -29,11 +32,14 @@ import optax
 
 from deeppointmap_tpu.models import Decoder, Encoder
 from deeppointmap_tpu.models.loss import LossConfig
+from deeppointmap_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                            replicated)
 from deeppointmap_tpu.parallel.train_step import (
-    TrainState, loop_param_mask, make_loop_train_step,
+    RegistrationBatch, TrainState, loop_param_mask, make_loop_train_step,
     make_registration_train_step)
 from deeppointmap_tpu.pipeline.batching import (build_loop_batch,
                                                 build_registration_batch)
+from deeppointmap_tpu.utils.precision import apply_matmul_precision
 from deeppointmap_tpu.pipeline.common import save_weights
 from deeppointmap_tpu.pipeline.train_utils import (Recorder, build_optimizer,
                                                    build_schedule)
@@ -63,6 +69,8 @@ class Trainer:
         self.loss_cfg = LossConfig.from_args(args)
         self.coor_scale = float(args.slam_system.coor_scale)
         self.pad_to = int(args.tpu.encoder_points)
+        apply_matmul_precision(args.get("tpu"))
+        self.mesh = self._build_mesh(args.tpu.get("data_parallel", "auto"))
 
         self.stage_epochs = [self.cfg.registration.num_epochs,
                              self.cfg.loop_detection.num_epochs]
@@ -104,11 +112,47 @@ class Trainer:
         except OSError as e:
             logger.warning("source snapshot failed: %s", e)
 
-    # ------------------------------------------------------------- stage
-    def _steps_per_epoch(self) -> int:
+    # ------------------------------------------------------------- mesh
+    def _build_mesh(self, dp):
+        """Data-parallel mesh: the reference trains DDP over NCCL
+        (reference: pipeline/train.py:42-46, trainer.py:239-242); here the
+        batch axis is sharded over a 1-D `dp` mesh and XLA inserts the
+        gradient all-reduce.
+
+        dp = "auto": all devices when running on TPU hardware, else
+        single-device (CPU tests opt in with an explicit int)."""
+        n_dev = len(jax.devices())
+        if dp == "auto":
+            n = n_dev if jax.default_backend() == "tpu" else 1
+        else:
+            n = min(int(dp or 1), n_dev)
+        if n <= 1:
+            return None
+        mesh = make_mesh(n)
+        logger.info("data-parallel mesh over %d %s devices", n,
+                    jax.default_backend())
+        return mesh
+
+    def _n_shards(self) -> int:
+        return 1 if self.mesh is None else self.mesh.devices.size
+
+    def _batch_items(self) -> int:
+        """Dataset items per global step, rounded up to a mesh multiple so
+        the batch axis shards evenly (every item contributes num_map map
+        groups in stage 1, so item-divisibility implies batch-divisibility)."""
         bs = (self.cfg.registration.batch_size if self.stage == 1
               else self.cfg.loop_detection.batch_size)
-        return max(len(self.dataset) // max(bs, 1), 1)
+        bs = max(int(bs), 1)
+        n = self._n_shards()
+        rounded = ((bs + n - 1) // n) * n
+        if rounded != bs:
+            logger.warning("batch_size %d rounded up to %d (mesh of %d)",
+                           bs, rounded, n)
+        return rounded
+
+    # ------------------------------------------------------------- stage
+    def _steps_per_epoch(self) -> int:
+        return max(len(self.dataset) // self._batch_items(), 1)
 
     def _setup_stage(self) -> None:
         """(Re)build optimizer + jitted step for the current stage
@@ -145,7 +189,18 @@ class Trainer:
         else:
             raw_step = make_loop_train_step(self.encoder, self.decoder,
                                             self.optimizer, self.coor_scale)
-        self.train_step = jax.jit(raw_step, donate_argnums=(0,))
+        if self.mesh is not None:
+            # params/opt-state replicated, batch sharded over 'dp'; the
+            # gradient all-reduce is XLA's (DDP equivalent). NumPy batches
+            # passed to the jitted step are sharded by in_shardings.
+            repl = replicated(self.mesh)
+            bsh = batch_sharding(self.mesh)
+            self.state = jax.device_put(self.state, repl)
+            self.train_step = jax.jit(raw_step, donate_argnums=(0,),
+                                      in_shardings=(repl, bsh),
+                                      out_shardings=(repl, repl))
+        else:
+            self.train_step = jax.jit(raw_step, donate_argnums=(0,))
 
     def _curriculum_K(self) -> int:
         """K = min(K_0 * K_mult^(epoch // mult_epoch), K_max)
@@ -170,21 +225,44 @@ class Trainer:
                 self.save()
         self.save(final=True)
 
+    def _epoch_indices(self, n_steps: int, bs: int):
+        """Anchor indices per step: a fresh permutation of the dataset each
+        epoch so every frame anchors once (reference DataLoader shuffle /
+        DistributedSampler semantics, trainer.py:88-95); topped up with
+        random extras when the dataset is smaller than one global batch."""
+        perm = self.rng.permutation(len(self.dataset))
+        need = n_steps * bs
+        if need > len(perm):
+            extra = self.rng.integers(0, len(self.dataset),
+                                      size=need - len(perm))
+            perm = np.concatenate([perm, extra])
+        for i in range(n_steps):
+            yield perm[i * bs:(i + 1) * bs]
+
     def _iter_batches(self):
         n = self._steps_per_epoch()
+        bs = self._batch_items()
         if self.stage == 1:
             self.dataset.registration_cfg.K = self._curriculum_K()
-            for _ in range(n):
-                idx = int(self.rng.integers(0, len(self.dataset)))
-                frames, info = self.dataset[idx]
-                yield build_registration_batch(
-                    frames, info, self.cfg.registration, self.pad_to,
-                    self.rng)
+            for idxs in self._epoch_indices(n, bs):
+                # one S per global batch: every per-device shard must
+                # compile to the same static shape under SPMD
+                self.dataset.forced_S = self.dataset.sample_S()
+                try:
+                    parts = [build_registration_batch(
+                        *self.dataset[int(i)], self.cfg.registration,
+                        self.pad_to, self.rng) for i in idxs]
+                finally:
+                    self.dataset.forced_S = None
+                if len(parts) == 1:
+                    yield parts[0]
+                else:
+                    yield RegistrationBatch(*(np.concatenate(
+                        [getattr(p, f) for p in parts], axis=0)
+                        for f in RegistrationBatch._fields))
         else:
-            bs = self.cfg.loop_detection.batch_size
-            for _ in range(n):
-                pairs = [self.dataset[int(self.rng.integers(0, len(self.dataset)))]
-                         for _ in range(bs)]
+            for idxs in self._epoch_indices(n, bs):
+                pairs = [self.dataset[int(i)] for i in idxs]
                 yield build_loop_batch(pairs,
                                        self.cfg.loop_detection.distance,
                                        self.pad_to)

@@ -51,7 +51,10 @@ class InferenceEngine:
         from deeppointmap_tpu.utils.compilation_cache import \
             enable_compilation_cache
 
+        from deeppointmap_tpu.utils.precision import apply_matmul_precision
+
         enable_compilation_cache()
+        apply_matmul_precision(args.get("tpu"))
         self.args = args
         #: when set, extract/odometry take RAW-METER padded points and the
         #: filter chain (distance/outlier/lowpass/normalize) runs fused
@@ -77,36 +80,47 @@ class InferenceEngine:
         self._info_fn = jax.jit(self._info_impl)
         self._odometry_fn = jax.jit(self._odometry_impl,
                                     static_argnames=("num_pairs",))
+        self._reg_info_fn = jax.jit(self._register_info_impl,
+                                    static_argnames=("num_pairs",))
         # encoder output token count: coords of the FP target level
         e = args.encoder
         self.n_tokens = int(e.npoint[len(e.npoint) - 1 - e.upsample_layers])
         # device-resident cache of per-scan arrays: uploading a 16k-point
         # cloud through this machine's TPU link costs tens of ms, and the
-        # SLAM loop reuses the same candidate/keyframe arrays many times
+        # SLAM loop reuses the same candidate/keyframe arrays many times.
+        # The cache is shared by the MT odometer/mapping/backend threads
+        # and, in multi-agent mode, by all agent threads + the cloud, so
+        # every get->move/insert->evict sequence runs under one lock.
+        import threading
         from collections import OrderedDict
         self._dcache: "OrderedDict" = OrderedDict()
         self._dcache_cap = int(tpu.get("device_cache_scans", 128))
+        self._dcache_lock = threading.Lock()
 
     def _dev(self, arr, key=None):
-        """jnp.asarray with an LRU device cache for token-keyed arrays."""
+        """jnp.asarray with a thread-safe LRU device cache for token-keyed
+        arrays."""
         if key is None:
             return jnp.asarray(arr)
-        hit = self._dcache.get(key)
-        if hit is not None and hit.shape == arr.shape:
-            self._dcache.move_to_end(key)
-            return hit
-        dev = jnp.asarray(arr)
-        self._dcache[key] = dev
-        if len(self._dcache) > self._dcache_cap:
-            self._dcache.popitem(last=False)
+        with self._dcache_lock:
+            hit = self._dcache.get(key)
+            if hit is not None and hit.shape == arr.shape:
+                self._dcache.move_to_end(key)
+                return hit
+        dev = jnp.asarray(arr)  # upload outside the lock (slow tunnel IO)
+        with self._dcache_lock:
+            self._dcache[key] = dev
+            if len(self._dcache) > self._dcache_cap:
+                self._dcache.popitem(last=False)
         return dev
 
     def invalidate_device_cache(self, token=None) -> None:
-        if token is None:
-            self._dcache.clear()
-        else:
-            for k in [k for k in self._dcache if k[0] == token]:
-                del self._dcache[k]
+        with self._dcache_lock:
+            if token is None:
+                self._dcache.clear()
+            else:
+                for k in [k for k in self._dcache if k[0] == token]:
+                    del self._dcache[k]
 
     # ------------------------------------------------------------ extract
     def _maybe_preprocess(self, points, valid):
@@ -235,9 +249,6 @@ class InferenceEngine:
         dst, dv, nb = self._pad_tokens(dst_desc, dst_valid)
         k_static = num_pairs_for(mb, nb, num_sample)
         k_actual = num_pairs_for(min(m_real, mb), min(n_real, nb), num_sample)
-        if not hasattr(self, "_reg_info_fn"):
-            self._reg_info_fn = jax.jit(self._register_info_impl,
-                                        static_argnames=("num_pairs",))
         skey = lambda name: (src_token, name) if src_token is not None else None
         dkey = lambda name: (dst_token, name) if dst_token is not None else None
         out = self._reg_info_fn(

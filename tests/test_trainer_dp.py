@@ -1,0 +1,141 @@
+"""Data-parallel Trainer: the production train step jitted over an 8-device
+mesh must (a) actually shard the batch, and (b) produce the same params and
+loss as the single-device step on identical inputs (the sharded gradient
+all-reduce is XLA's DDP equivalent, reference: trainer.py:239-242).
+
+Runs on the 8 virtual CPU devices set up in conftest.py."""
+
+import copy
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tests.test_trainer import make_synthetic_dataset, train_args
+
+
+def _make(tmp_path_factory, data_parallel, tag, seed=0):
+    from deeppointmap_tpu.data.dataset import SlamDatasets
+    from deeppointmap_tpu.data.transforms import PointCloudTransforms
+    from deeppointmap_tpu.pipeline.common import init_params
+    from deeppointmap_tpu.pipeline.trainer import Trainer
+
+    root = str(tmp_path_factory.mktemp(f"dp_ds_{tag}"))
+    make_synthetic_dataset(root, n_frames=16)
+    args = train_args(root)
+    args.infer_tgt = str(tmp_path_factory.mktemp(f"dp_log_{tag}"))
+    args.tpu["data_parallel"] = data_parallel
+    # 2 items per global step so the batch has something to shard/split
+    args.train.registration.batch_size = 2
+    args.train.loop_detection.batch_size = 2
+    # SGD so params_after - params_before == -lr * grad: the equivalence
+    # check below then compares raw gradients. (Adam normalizes by
+    # sqrt(v) ~= |g|, which blows tiny cross-shard reduction-order noise
+    # on near-zero gradients up to the size of lr itself.)
+    for tree in (args.train.registration, args.train.loop_detection):
+        tree.optimizer = dict(type="sgd", kwargs=dict(lr=1e-3))
+
+    rng = np.random.default_rng(seed)
+    tfs = PointCloudTransforms(args, mode="train", rng=rng)
+    tfs.transforms.transforms = tfs.transforms.transforms[:-1]
+    ds = SlamDatasets(args, data_transforms=tfs, rng=rng)
+    enc, dec, ep, dp = init_params(args, seed=7)
+    trainer = Trainer(args, ds, enc, dec, ep, dp, rng=rng)
+    return trainer
+
+
+@pytest.fixture(scope="module")
+def trainers(tmp_path_factory):
+    t_dp = _make(tmp_path_factory, data_parallel=2, tag="sharded")
+    t_sd = _make(tmp_path_factory, data_parallel=1, tag="single")
+    return t_dp, t_sd
+
+
+def test_mesh_built_and_batch_sharded(trainers):
+    t_dp, t_sd = trainers
+    assert t_dp.mesh is not None and t_dp.mesh.devices.size == 2
+    assert t_sd.mesh is None
+    # params replicated over the mesh
+    leaf = jax.tree.leaves(t_dp.state.enc_params)[0]
+    assert len(leaf.sharding.device_set) == 2
+
+
+def _one_batch(trainer, stage, seed=11):
+    """A deterministic global batch via the trainer's own iterator."""
+    trainer.stage = stage
+    trainer.rng = np.random.default_rng(seed)
+    trainer.dataset.rng = trainer.rng
+    if stage == 1:
+        trainer.dataset.registration()
+    else:
+        trainer.dataset.loop_detection()
+    return next(trainer._iter_batches())
+
+
+@pytest.mark.parametrize("stage", [1, 2])
+def test_sharded_step_matches_single_device(trainers, stage):
+    from deeppointmap_tpu.pipeline.common import init_params
+
+    t_dp, t_sd = trainers
+    for t in (t_dp, t_sd):
+        # fresh params each parametrized run: the donated state of a
+        # previous run deleted the original param buffers
+        _, _, ep, dp = init_params(t.args, seed=7)
+        t._params = (ep, dp)
+        t.stage = stage
+        t._setup_stage()
+
+    batch = _one_batch(t_sd, stage)
+    batch_dp = _one_batch(t_dp, stage)
+    for a, b in zip(batch, batch_dp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # re-setup so both start from the SAME freshly-initialized opt state
+    # (the donated state was consumed by nothing yet; params identical by
+    # construction: same init seed)
+    state_dp, m_dp = t_dp.train_step(t_dp.state, batch)
+    state_sd, m_sd = t_sd.train_step(t_sd.state, batch)
+
+    assert np.isfinite(float(m_dp["loss"]))
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_sd["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_dp.enc_params),
+                    jax.tree.leaves(state_sd.enc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_dp.dec_params),
+                    jax.tree.leaves(state_sd.dec_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_epoch_covers_every_frame(trainers):
+    """Permutation sampling: every dataset frame anchors exactly once per
+    epoch (reference DataLoader shuffle semantics, trainer.py:88-95)."""
+    _, t_sd = trainers
+    n = t_sd._steps_per_epoch()
+    bs = t_sd._batch_items()
+    seen = []
+    for idxs in t_sd._epoch_indices(n, bs):
+        seen.extend(int(i) for i in idxs)
+    # n*bs <= len(dataset): no duplicates; each index distinct
+    assert len(set(seen)) == len(seen)
+    assert len(seen) == n * bs
+
+
+def test_dp_trainer_runs_epoch(trainers):
+    """Full sharded epoch end-to-end through Trainer.run()'s machinery."""
+    from deeppointmap_tpu.pipeline.common import init_params
+
+    t_dp, _ = trainers
+    _, _, ep, dp = init_params(t_dp.args, seed=7)
+    t_dp._params = (ep, dp)
+    t_dp.stage = 1
+    t_dp.dataset.registration()
+    t_dp._steps_per_epoch_orig = t_dp._steps_per_epoch
+    t_dp._steps_per_epoch = lambda: 2
+    t_dp._setup_stage()
+    t_dp.train_one_epoch()
+    assert os.path.getsize(os.path.join(t_dp.log_dir, "metrics.jsonl")) >= 0
+    t_dp._steps_per_epoch = t_dp._steps_per_epoch_orig
