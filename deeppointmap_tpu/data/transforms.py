@@ -183,20 +183,22 @@ class GroundFilter:
         order = np.argsort(gid, kind="stable")
         ids, gid = ids[order], gid[order]
         z = xyz[ids, 2]
-        uniq, starts = np.unique(gid, return_index=True)
-        keep: List[np.ndarray] = []
-        bounds = np.append(starts, len(gid))
-        for b, e in zip(bounds[:-1], bounds[1:]):
-            if e - b < 3:
-                continue
-            if z[b:e].max() - z[b:e].min() > self.ground_height:
-                keep.append(ids[b:e])
-            elif self.preserve_sparse_ground:
-                keep.append(ids[b:b + 1])
-        if keep:
-            scan.keep(np.concatenate(keep))
-        else:
+        if len(gid) == 0:
             scan.keep(np.zeros((0,), dtype=np.int64))
+            return scan
+        # vectorized per-grid stats (a 122k-pt scan has thousands of
+        # occupied grids; the reference loops in torch, we segment-reduce)
+        _, starts = np.unique(gid, return_index=True)
+        counts = np.diff(np.append(starts, len(gid)))
+        span = (np.maximum.reduceat(z, starts)
+                - np.minimum.reduceat(z, starts))
+        dense = counts >= 3
+        tall = dense & (span > self.ground_height)       # keep whole grid
+        flat = dense & ~tall if self.preserve_sparse_ground \
+            else np.zeros_like(dense)                    # keep one point
+        pos_mask = np.repeat(tall, counts)
+        pos_mask[starts[flat]] = True
+        scan.keep(ids[pos_mask])
         return scan
 
 

@@ -25,12 +25,22 @@ from flax import linen as nn
 
 from deeppointmap_tpu.models.common import MLP
 from deeppointmap_tpu.ops.neighbors import hybrid_query, group_points
-from deeppointmap_tpu.ops.sampling import batched_fps
+from deeppointmap_tpu.ops.sampling import batched_fps, batched_voxel_sample
+
+#: per-stage sampler spec: (type, voxel_size, sample_range); size/range
+#: are ignored for fps (reference: pointnext.py:21,30-35)
+DEFAULT_SAMPLE = ("fps", 0.0, 0.0)
 
 
-def _sample_batch(coor, valid, k):
-    """Batched FPS: (B,N,3),(B,N) -> idx (B,k), valid (B,k). Dispatches
-    to the Pallas kernel on TPU (ops/sampling.py)."""
+def _sample_batch(coor, valid, k, sample=DEFAULT_SAMPLE):
+    """Batched sampling: (B,N,3),(B,N) -> idx (B,k), valid (B,k).
+    FPS dispatches to the Pallas kernel on TPU (ops/sampling.py); voxel
+    sampling is the reference's parallel alternative
+    (network/encoder/utils.py:149-207)."""
+    kind = sample[0]
+    if kind == "voxel":
+        return batched_voxel_sample(coor, valid, k, voxel_size=sample[1],
+                                    sample_range=sample[2])
     return batched_fps(coor, valid, k)
 
 
@@ -48,11 +58,13 @@ class SetAbstraction(nn.Module):
     nsample: int
     in_channel: int
     bias: bool = True
+    sample: Tuple[str, float, float] = DEFAULT_SAMPLE
 
     @nn.compact
     def __call__(self, coor, fea, valid):
         # coor (B,N,3) fea (B,N,C) valid (B,N)
-        idx, new_valid = _sample_batch(coor, valid, self.npoint)     # (B,S)
+        idx, new_valid = _sample_batch(coor, valid, self.npoint,
+                                       self.sample)                  # (B,S)
         new_coor = jnp.take_along_axis(coor, idx[..., None], axis=1)  # (B,S,3)
 
         group_idx = _query_batch(coor, new_coor, self.nsample, self.radius,
@@ -114,12 +126,14 @@ class Stage(nn.Module):
     in_channel: int
     expansion: int = 4
     bias: bool = True
+    sample: Tuple[str, float, float] = DEFAULT_SAMPLE
 
     @nn.compact
     def __call__(self, coor, fea, valid):
         coor, fea, valid = SetAbstraction(
             self.npoint, self.radius_list[0], self.nsample_list[0],
-            self.in_channel, self.bias, name="sa")(coor, fea, valid)
+            self.in_channel, self.bias, self.sample,
+            name="sa")(coor, fea, valid)
         for i in range(1, len(self.radius_list)):
             fea = InvResMLP(self.radius_list[i], self.nsample_list[i],
                             self.in_channel * 2, self.expansion, self.bias,
@@ -173,22 +187,35 @@ class Encoder(nn.Module):
     expansion: int = 4
     upsample_layers: int = 2
     bias: bool = True
+    #: per-stage sampler: (type, voxel_size, sample_range)
+    sample: Sequence[Tuple[str, float, float]] = (DEFAULT_SAMPLE,) * 5
 
     @classmethod
     def from_config(cls, args) -> "Encoder":
         e = args.encoder
         norm = str(e.get("norm", "LN")).lower()
         assert norm == "ln", f"only LayerNorm is supported (got {norm!r})"
+        sample = []
         for s in e.sample:
-            assert str(s["type"]).startswith("fps"), \
-                f"only FPS sampling is supported (got {s['type']!r})"
+            kind = str(s["type"])
+            if kind.startswith("fps"):       # fps / fps-t3d are one op here
+                sample.append(DEFAULT_SAMPLE)
+            elif kind == "voxel":
+                sample.append(("voxel", float(s["size"]),
+                               float(s["range"])))
+            else:
+                raise ValueError(f"unsupported sampler {kind!r}: "
+                                 "use 'fps', 'fps-t3d', or 'voxel'")
+        if len(sample) == 1:
+            sample = sample * len(e.npoint)
+        assert len(sample) == len(e.npoint), (sample, e.npoint)
         return cls(npoint=tuple(e.npoint),
                    radius_list=tuple(tuple(r) for r in e.radius_list),
                    nsample_list=tuple(tuple(n) for n in e.nsample_list),
                    in_channel=e.in_channel, out_channel=e.out_channel,
                    width=e.width, expansion=e["expansion"],
                    upsample_layers=e.upsample_layers,
-                   bias=e.get("bias", True))
+                   bias=e.get("bias", True), sample=tuple(sample))
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, valid: jnp.ndarray
@@ -199,10 +226,14 @@ class Encoder(nn.Module):
 
         levels = [(coor, fea, valid)]
         width = self.width
+        sample = tuple(self.sample)[:len(self.npoint)]
+        if len(sample) < len(self.npoint):
+            sample = sample + (DEFAULT_SAMPLE,) * (len(self.npoint)
+                                                   - len(sample))
         for i in range(len(self.npoint)):
             c, f, v = Stage(self.npoint[i], self.radius_list[i],
                             self.nsample_list[i], width, self.expansion,
-                            self.bias, name=f"down{i}")(*levels[-1])
+                            self.bias, sample[i], name=f"down{i}")(*levels[-1])
             levels.append((c, f, v))
             width *= 2
 

@@ -79,3 +79,61 @@ def batched_fps(xyz, valid, k):
         from deeppointmap_tpu.ops.pallas_fps import fps_pallas_batched
         return fps_pallas_batched(xyz, valid, k)
     return jax.vmap(lambda x, v: farthest_point_sampling(x, v, k))(xyz, valid)
+
+
+def voxel_sample(
+    xyz: jnp.ndarray,    # (N, 3) float (normalized coords)
+    valid: jnp.ndarray,  # (N,) bool
+    k: int,
+    voxel_size: float = 0.3,
+    sample_range: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Voxel-grid sampling: one representative per occupied voxel (the
+    point nearest its voxel center), voxels ranked by point count, top-k
+    kept (reference: network/encoder/utils.py:149-207 -- the parallel
+    alternative to FPS; `sample: {type: voxel, size, range}` in the yaml).
+
+    Fully parallel (sort + segment scan), so unlike FPS it needs no
+    sequential kernel. Returns (idx (k,) int32 into xyz, sel_valid (k,)).
+    """
+    n = xyz.shape[0]
+    xyz = jnp.asarray(xyz, jnp.float32)
+    big = jnp.float32(2.0 * sample_range)
+    p = jnp.where(valid[:, None], xyz, big)       # pads pushed out of range
+    pmin = jnp.min(p, axis=0)
+    dims = jnp.floor((jnp.max(p, axis=0) - pmin) / voxel_size) + 1.0
+    in_range = (jnp.sum(p * p, axis=-1) <= sample_range * sample_range) \
+        & valid
+    rel = p - pmin
+    vxyz = jnp.floor(rel / voxel_size)
+    # voxel id in float32: exact for the small grids produced by
+    # normalized coords (dims ~ (2*range/voxel)^3 << 2^24)
+    vid = vxyz[:, 0] + vxyz[:, 1] * dims[0] + vxyz[:, 2] * dims[0] * dims[1]
+    vid = jnp.where(in_range, vid, jnp.float32(jnp.inf))
+    # distance of each point to its voxel center: the per-voxel
+    # representative is the argmin (reference sorts by it globally)
+    dis = jnp.sum((rel - vxyz * voxel_size - voxel_size / 2.0) ** 2, axis=-1)
+
+    order = jnp.lexsort((dis, vid))               # by voxel id, then dis
+    vs = vid[order]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), vs[1:] != vs[:-1]])
+    firstpos = jnp.where(first, pos, n)
+    # next first-position AFTER i (reverse cummin, shifted by one)
+    nxt = jax.lax.cummin(firstpos[::-1])[::-1]
+    nxt = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
+    count = nxt - pos                              # run length at each first
+    score = jnp.where(first & jnp.isfinite(vs), count, -1)
+    top_cnt, top_pos = jax.lax.top_k(score, k)     # voxels by point count
+    sel_valid = top_cnt > 0
+    idx = jnp.where(sel_valid, order[top_pos], 0).astype(jnp.int32)
+    return idx, sel_valid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "voxel_size",
+                                              "sample_range"))
+def batched_voxel_sample(xyz, valid, k, voxel_size=0.3, sample_range=1.0):
+    """(B, N, 3), (B, N) -> (B, k) idx, (B, k) sel_valid."""
+    return jax.vmap(
+        lambda x, v: voxel_sample(x, v, k, voxel_size, sample_range)
+    )(xyz, valid)

@@ -252,3 +252,95 @@ class TestBallQuery:
         valid = jnp.arange(50) < 25
         idx = np.asarray(ball_query(pts, pts[:4], 6, 10.0, valid))
         assert idx.max() < 25
+
+
+class TestVoxelSample:
+    """voxel_sample vs a NumPy oracle of the reference algorithm
+    (network/encoder/utils.py:149-207): per-voxel representative = point
+    nearest its voxel center, voxels ranked by point count, top-k kept."""
+
+    def _oracle(self, xyz, valid, k, voxel_size, sample_range):
+        p = xyz.copy()
+        p[~valid] = 2.0 * sample_range
+        pmin = p.min(0)
+        dims = np.floor((p.max(0) - pmin) / voxel_size) + 1
+        in_range = (np.sum(p * p, -1) <= sample_range ** 2) & valid
+        rel = p - pmin
+        vxyz = np.floor(rel / voxel_size)
+        vid = vxyz[:, 0] + vxyz[:, 1] * dims[0] + vxyz[:, 2] * dims[0] * dims[1]
+        dis = np.sum((rel - vxyz * voxel_size - voxel_size / 2) ** 2, -1)
+        order = np.lexsort((dis, np.where(in_range, vid, np.inf)))
+        reps, counts = [], []
+        i = 0
+        ids = vid[order]
+        ir = in_range[order]
+        while i < len(ids):
+            j = i
+            while j < len(ids) and ids[j] == ids[i]:
+                j += 1
+            if ir[i]:
+                reps.append(order[i])
+                counts.append(j - i)
+            i = j
+        sel = np.argsort(-np.asarray(counts), kind="stable")[:k]
+        return set(np.asarray(reps)[sel].tolist()), np.asarray(counts)[sel]
+
+    def test_matches_reference_oracle(self):
+        import jax.numpy as jnp
+        from deeppointmap_tpu.ops.sampling import voxel_sample
+
+        rng = np.random.default_rng(5)
+        xyz = rng.uniform(-1.2, 1.2, (400, 3)).astype(np.float32)
+        valid = np.ones(400, bool)
+        valid[370:] = False
+        k = 48
+        idx, sv = voxel_sample(jnp.asarray(xyz), jnp.asarray(valid), k,
+                               voxel_size=0.25, sample_range=1.0)
+        idx, sv = np.asarray(idx), np.asarray(sv)
+        want, want_counts = self._oracle(xyz, valid, k, 0.25, 1.0)
+        assert sv.sum() == min(k, len(want))
+        got = set(idx[sv].tolist())
+        # ties in voxel count can swap the k-th voxel; demand >= 95% overlap
+        assert len(got & want) >= 0.95 * len(want), (got, want)
+
+    def test_fewer_voxels_than_k(self):
+        import jax.numpy as jnp
+        from deeppointmap_tpu.ops.sampling import voxel_sample
+
+        rng = np.random.default_rng(6)
+        xyz = rng.uniform(-0.3, 0.3, (100, 3)).astype(np.float32)
+        valid = np.ones(100, bool)
+        idx, sv = voxel_sample(jnp.asarray(xyz), jnp.asarray(valid), 64,
+                               voxel_size=0.3, sample_range=1.0)
+        sv = np.asarray(sv)
+        n_vox = sv.sum()
+        assert 0 < n_vox < 64          # tiny cloud -> few occupied voxels
+        assert not sv[n_vox:].any()    # padding marked invalid
+
+    def test_encoder_with_voxel_stage(self):
+        """Encoder built from a config with a voxel sampler stage runs and
+        produces valid tokens."""
+        import jax
+        import jax.numpy as jnp
+        from deeppointmap_tpu.config import Config
+        from deeppointmap_tpu.models import Encoder
+
+        args = Config(encoder=dict(
+            npoint=[64, 32, 16],
+            radius_list=[[0.05, 0.1], [0.1, 0.2], [0.2, 0.4]],
+            nsample_list=[[8, 8], [8, 8], [8, 8]],
+            in_channel=3, out_channel=16, width=8, expansion=4,
+            upsample_layers=2, norm="LN", bias=True,
+            sample=[{"type": "voxel", "size": 0.05, "range": 1.0},
+                    {"type": "fps"}, {"type": "fps"}]))
+        enc = Encoder.from_config(args)
+        assert enc.sample[0][0] == "voxel" and enc.sample[1][0] == "fps"
+        rng = np.random.default_rng(7)
+        pts = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 256, 3)),
+                          jnp.float32)
+        valid = jnp.ones((1, 256), bool)
+        params = jax.jit(enc.init)(jax.random.PRNGKey(0), pts, valid)
+        coor, fea, v = jax.jit(enc.apply)(params, pts, valid)
+        assert coor.shape == (1, 64, 3) and fea.shape == (1, 64, 16)
+        assert bool(np.asarray(v).any())
+        assert np.isfinite(np.asarray(fea)).all()

@@ -121,3 +121,45 @@ def test_ground_filter_removes_flat_cells():
     assert scan.n_points < 1800
     zmax = scan.xyz[:, 2].max()
     assert zmax > 2.5
+
+
+def test_ground_filter_matches_loop_oracle():
+    """The vectorized (reduceat) GroundFilter must keep exactly the same
+    points in the same order as a direct per-grid loop implementation of
+    the reference semantics (transforms.py:174-227)."""
+    def loop_oracle(xyz, gf):
+        row = (xyz[:, 0] / gf.grid_width + gf.img_len / 2).astype(np.int32)
+        col = (xyz[:, 1] / gf.grid_width + gf.img_width / 2).astype(np.int32)
+        inside = ((row >= 0) & (row < gf.img_len)
+                  & (col >= 0) & (col < gf.img_width))
+        ids = np.nonzero(inside)[0]
+        gid = row[ids] * gf.img_width + col[ids]
+        order = np.argsort(gid, kind="stable")
+        ids, gid = ids[order], gid[order]
+        z = xyz[ids, 2]
+        _, starts = np.unique(gid, return_index=True)
+        bounds = np.append(starts, len(gid))
+        keep = []
+        for b, e in zip(bounds[:-1], bounds[1:]):
+            if e - b < 3:
+                continue
+            if z[b:e].max() - z[b:e].min() > gf.ground_height:
+                keep.append(ids[b:e])
+            elif gf.preserve_sparse_ground:
+                keep.append(ids[b:b + 1])
+        return (np.concatenate(keep) if keep
+                else np.zeros((0,), np.int64))
+
+    rng = np.random.default_rng(11)
+    for trial, preserve in [(0, True), (1, False)]:
+        xyz = np.concatenate([
+            rng.uniform(-20, 20, size=(5000, 3)),      # volume points
+            np.column_stack([rng.uniform(-20, 20, (4000, 2)),
+                             rng.normal(0, 0.03, 4000)]),  # ground plane
+        ]).astype(np.float32)
+        gf = GroundFilter(img_len=64, img_width=64, grid_width=0.5,
+                          ground_height=0.3, preserve_sparse_ground=preserve)
+        expect = loop_oracle(xyz, gf)
+        scan = Scan(xyz=xyz.copy())
+        gf(scan)
+        np.testing.assert_array_equal(scan.xyz, xyz[expect])
