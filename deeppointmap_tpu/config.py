@@ -86,6 +86,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_ros", "-ros", default=False, action="store_true")
     p.add_argument("--profile", default=False, action="store_true",
                    help="Capture a jax.profiler device trace during inference")
+    # multi-agent transport (TPU build extension: the reference runs all
+    # agents in one process over an in-memory bus)
+    p.add_argument("--transport", default="inproc",
+                   choices=["inproc", "tcp"],
+                   help="multi-agent message transport")
+    p.add_argument("--transport_host", default="127.0.0.1", type=str)
+    p.add_argument("--transport_port", default=0, type=int,
+                   help="cloud TCP port (0 = auto-pick)")
+    p.add_argument("--agent_index", default=-1, type=int,
+                   help=">=1: run as a single agent worker process "
+                        "connecting to the cloud over TCP")
+    # multi-host training seam
+    p.add_argument("--distributed", default=False, action="store_true",
+                   help="call jax.distributed.initialize() before training "
+                        "(multi-host; reads JAX coordinator env vars)")
+    p.add_argument("--coordinator_address", default="", type=str)
+    p.add_argument("--num_processes", default=0, type=int)
+    p.add_argument("--process_id", default=-1, type=int)
     # YAML-only trees
     p.add_argument("--dataset", help="yaml tree")
     p.add_argument("--transforms", help="yaml tree")

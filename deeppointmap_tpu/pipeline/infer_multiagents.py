@@ -6,16 +6,28 @@ AGENT_NUMBER agents + one cloud share one sequence, each agent taking a
 body.py:340-348); agents upload keyframes + edges to the cloud over the
 message bus; the cloud merges pose graphs and closes cross-agent loops.
 
-All systems share ONE InferenceEngine (one set of compiled programs and
-one TPU chip) -- the reference deep-copies the torch models per system
-(infer_multiagents.py:100-120) because torch modules carry mutable state;
-jitted functions are pure so sharing is free.
+Two transports (--transport):
+  inproc  -- reference-equivalent: agent threads + cloud in one process
+             sharing ONE InferenceEngine (one set of compiled programs and
+             one TPU chip). The reference deep-copies the torch models per
+             system (infer_multiagents.py:100-120) because torch modules
+             carry mutable state; jitted functions are pure so sharing is
+             free.
+  tcp     -- multi-process/multi-host: the cloud hosts a TransportServer;
+             each agent runs in its OWN process (own JAX runtime, own
+             chip on real deployments) and ships UPLOAD_SCAN messages over
+             the wire codec (slam/transport.py). This process spawns the
+             agent workers locally; on a real multi-host deployment start
+             each worker yourself with --agent_index i --transport_host H
+             --transport_port P.
 """
 
 from __future__ import annotations
 
 import logging
 import os
+import subprocess
+import sys
 
 from deeppointmap_tpu.config import load_config, save_settings
 from deeppointmap_tpu.data.dataset import BasicAgent
@@ -31,6 +43,112 @@ logger = logging.getLogger("deeppointmap_tpu.infer_multiagents")
 AGENT_NUMBER = 3  # reference: pipeline/infer_multiagents.py:38
 
 
+def _build_engine(args) -> InferenceEngine:
+    enc, dec, enc_params, dec_params = build_models(args, args.weight)
+    return InferenceEngine(args, enc_params, dec_params, encoder=enc,
+                           decoder=dec,
+                           preprocess_cfg=device_preprocess_config(args))
+
+
+def _make_agent(args, engine, comm, agent_id: int) -> AgentSystem:
+    agent_dir = os.path.join(args.infer_tgt, f"agent_{agent_id}")
+    os.makedirs(agent_dir, exist_ok=True)
+    dataset = BasicAgent(root=args.infer_src[0], reader="auto",
+                         split_num=AGENT_NUMBER, split_index=agent_id - 1)
+    dataset.set_independent(make_infer_transform(args))
+    system = AgentSystem(args, engine, system_id=agent_id,
+                         logger_dir=agent_dir, comm_module=comm)
+    system.start(prefetch(dataset))
+    return system
+
+
+def _finish_agent(system) -> None:
+    system.wait()
+    system.result_logger.save_trajectory("trajectory")
+    system.result_logger.save_posegraph("trajectory")
+
+
+def run_agent_worker(args) -> None:
+    """One agent in its own process, uploading to the cloud over TCP."""
+    from deeppointmap_tpu.slam.transport import RemoteCommModule
+
+    i = int(args.agent_index)
+    assert 1 <= i <= AGENT_NUMBER, f"agent_index {i} out of range"
+    comm = RemoteCommModule(args.transport_host, int(args.transport_port))
+    engine = _build_engine(args)
+    system = _make_agent(args, engine, comm, i)
+    _finish_agent(system)
+    comm.send_message(i, 0, "AGENT_QUIT")
+    comm.close()
+    logger.info("agent %d done: %s", i, system.posegraph_map)
+
+
+def _spawn_agent_procs(args, port: int):
+    """Local agent worker processes. Children are forced onto the CPU
+    backend by default: this box's TPU tunnel is single-client and the
+    cloud process owns it (set tpu.agent_platform to override, e.g. on a
+    pod where every process gets its own chips)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = str(
+        (args.get("tpu") or {}).get("agent_platform", "cpu"))
+    procs = []
+    for i in range(1, AGENT_NUMBER + 1):
+        cmd = [sys.executable, "-m",
+               "deeppointmap_tpu.pipeline.infer_multiagents",
+               "--yaml_file", args.yaml_file, "--transport", "tcp",
+               "--agent_index", str(i), "--transport_port", str(port),
+               "--transport_host", args.transport_host,
+               "--infer_tgt", args.infer_tgt]
+        if args.weight:
+            cmd += ["--weight", args.weight]
+        procs.append(subprocess.Popen(cmd, env=env))
+    return procs
+
+
+def run_cloud_tcp(args) -> CloudSystem:
+    """Cloud + TransportServer; spawns local agent processes and merges
+    their uploads (multi-process equivalent of the in-proc flow)."""
+    from deeppointmap_tpu.slam.transport import TransportServer
+
+    engine = _build_engine(args)
+    comm = CommModule()
+    server = TransportServer(comm, host=args.transport_host,
+                             port=int(args.transport_port))
+    logger.info("cloud transport listening on %s:%d", args.transport_host,
+                server.port)
+    cloud_dir = os.path.join(args.infer_tgt, "cloud")
+    os.makedirs(cloud_dir, exist_ok=True)
+    cloud = CloudSystem(args, engine, logger_dir=cloud_dir, comm_module=comm)
+    cloud.start()
+
+    procs = _spawn_agent_procs(args, server.port)
+    failed = [i + 1 for i, p in enumerate(procs) if p.wait() != 0]
+    if failed:
+        raise RuntimeError(f"agent processes failed: {failed}")
+    comm.send_message(0, 0, "QUIT")
+    cloud.wait()
+    server.close()
+    return cloud
+
+
+def run_inproc(args) -> CloudSystem:
+    engine = _build_engine(args)
+    comm = CommModule()
+    cloud_dir = os.path.join(args.infer_tgt, "cloud")
+    os.makedirs(cloud_dir, exist_ok=True)
+    cloud = CloudSystem(args, engine, logger_dir=cloud_dir, comm_module=comm)
+    cloud.start()
+
+    agents = [_make_agent(args, engine, comm, i)
+              for i in range(1, AGENT_NUMBER + 1)]
+    for a in agents:
+        _finish_agent(a)
+        comm.send_message(a.system_id, 0, "AGENT_QUIT")
+    comm.send_message(0, 0, "QUIT")
+    cloud.wait()
+    return cloud
+
+
 def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
@@ -38,41 +156,18 @@ def main(argv=None):
     args = load_config(argv)
     args.mode = "infer"
 
-    enc, dec, enc_params, dec_params = build_models(args, args.weight)
-    engine = InferenceEngine(args, enc_params, dec_params,
-                             encoder=enc, decoder=dec,
-                             preprocess_cfg=device_preprocess_config(args))
+    if int(args.agent_index) >= 1:
+        run_agent_worker(args)
+        return
 
     os.makedirs(args.infer_tgt, exist_ok=True)
     save_settings(args, os.path.join(args.infer_tgt, "settings.yaml"))
 
-    comm = CommModule()
-    seq_root = args.infer_src[0]
+    if args.transport == "tcp":
+        cloud = run_cloud_tcp(args)
+    else:
+        cloud = run_inproc(args)
 
-    cloud_dir = os.path.join(args.infer_tgt, "cloud")
-    os.makedirs(cloud_dir, exist_ok=True)
-    cloud = CloudSystem(args, engine, logger_dir=cloud_dir, comm_module=comm)
-    cloud.start()
-
-    agents = []
-    for i in range(1, AGENT_NUMBER + 1):
-        agent_dir = os.path.join(args.infer_tgt, f"agent_{i}")
-        os.makedirs(agent_dir, exist_ok=True)
-        dataset = BasicAgent(root=seq_root, reader="auto",
-                             split_num=AGENT_NUMBER, split_index=i - 1)
-        dataset.set_independent(make_infer_transform(args))
-        system = AgentSystem(args, engine, system_id=i,
-                             logger_dir=agent_dir, comm_module=comm)
-        system.start(prefetch(dataset))
-        agents.append(system)
-
-    for a in agents:
-        a.wait()
-        a.result_logger.save_trajectory("trajectory")
-        a.result_logger.save_posegraph("trajectory")
-        comm.send_message(a.system_id, 0, "AGENT_QUIT")
-    comm.send_message(0, 0, "QUIT")
-    cloud.wait()
     cloud.result_logger.save_trajectory("cloud_trajectory")
     cloud.result_logger.save_posegraph("cloud_trajectory")
     try:

@@ -3,10 +3,13 @@
 CLI parity with the reference (reference: pipeline/train.py:31-75):
     python -m deeppointmap_tpu.pipeline.train --yaml_file train.yaml \
         [--checkpoint ckpt] [--weight w]
-The reference initializes DDP/NCCL here (train.py:42-46); the TPU build
+The reference initializes DDP/NCCL here (train.py:42-46). Single-host TPU
 needs no process-group setup -- the train steps are jitted over the local
-device mesh and gradient reduction is XLA's job. Multi-host runs would
-add jax.distributed.initialize() at this seam.
+device mesh and gradient reduction is XLA's job. Multi-host pods pass
+--distributed (plus either JAX coordinator env vars or
+--coordinator_address/--num_processes/--process_id) to call
+jax.distributed.initialize() at this seam; afterwards jax.devices() spans
+the pod and the Trainer's "auto" data-parallel mesh covers every chip.
 """
 
 from __future__ import annotations
@@ -23,12 +26,33 @@ from deeppointmap_tpu.pipeline.trainer import Trainer
 logger = logging.getLogger("deeppointmap_tpu.train")
 
 
+def init_distributed(args) -> None:
+    """Multi-host seam (the reference's dist.init_process_group,
+    train.py:42-46). jax.distributed.initialize() reads coordinator/
+    process info from flags or, when absent, from the cluster env."""
+    import jax
+
+    kwargs = {}
+    if args.coordinator_address:
+        kwargs["coordinator_address"] = args.coordinator_address
+    if int(args.num_processes) > 0:
+        kwargs["num_processes"] = int(args.num_processes)
+    if int(args.process_id) >= 0:
+        kwargs["process_id"] = int(args.process_id)
+    jax.distributed.initialize(**kwargs)
+    logger.info("jax.distributed: process %d/%d, %d global devices",
+                jax.process_index(), jax.process_count(),
+                len(jax.devices()))
+
+
 def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
     args = load_config(argv)
     args.mode = "train"
+    if args.distributed:
+        init_distributed(args)
 
     import numpy as np
     rng = np.random.default_rng(int(args.get("seed", 0) or 0))
