@@ -24,6 +24,8 @@ class Scan:
     translation: Optional[np.ndarray] = None       # (3, 1) GT ego translation
     norm: Optional[np.ndarray] = None              # (N, 3)
     label: Optional[np.ndarray] = None             # (N,)
+    image: Optional[np.ndarray] = None             # camera image (H, W, C)
+    uvd: Optional[np.ndarray] = None               # (N, 3) image-proj coords
     calib: np.ndarray = field(default_factory=lambda: np.eye(4, dtype=np.float32))
 
     def __post_init__(self):
@@ -46,6 +48,8 @@ class Scan:
             self.norm = self.norm[index_or_mask]
         if self.label is not None:
             self.label = self.label[index_or_mask]
+        if self.uvd is not None:
+            self.uvd = self.uvd[index_or_mask]
         return self
 
 
@@ -73,6 +77,8 @@ def read_npz(path: str) -> Scan:
             translation=z["ego_translation"] if "ego_translation" in keys else None,
             norm=z["lidar_norm"] if "lidar_norm" in keys else None,
             label=z["lidar_seg"] if "lidar_seg" in keys else None,
+            image=z["image"] if "image" in keys else None,
+            uvd=z["lidar_proj"] if "lidar_proj" in keys else None,
         )
 
 

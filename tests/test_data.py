@@ -90,3 +90,23 @@ class TestConfig:
         assert args.encoder.sample[0].type == "fps-t3d"
         # tpu defaults attached
         assert args.tpu.encoder_points == 16384
+
+
+def test_npz_image_uvd_fields(tmp_path):
+    """image/lidar_proj npz fields load and uvd follows point selection
+    (reference: dataloader/heads/npz.py:12-27)."""
+    import numpy as np
+    from deeppointmap_tpu.data.readers import read_auto
+
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(100, 3)).astype(np.float32)
+    uvd = rng.uniform(0, 1, size=(100, 3)).astype(np.float32)
+    img = rng.integers(0, 255, size=(8, 12, 3)).astype(np.uint8)
+    p = tmp_path / "f.npz"
+    np.savez(p, lidar_pcd=xyz, lidar_proj=uvd, image=img)
+    scan = read_auto(str(p))
+    assert scan.image.shape == (8, 12, 3)
+    np.testing.assert_array_equal(scan.uvd, uvd)
+    scan.keep(np.arange(10))
+    assert scan.uvd.shape == (10, 3)
+    assert scan.image.shape == (8, 12, 3)  # image is not per-point

@@ -124,3 +124,65 @@ def test_async_dispatch_overlap(engine):
         np.testing.assert_allclose(got[3], ref[3], atol=1e-6)   # SE3
         assert got[4] == pytest.approx(ref[4], abs=1e-7)        # conf
         np.testing.assert_allclose(got[6], ref[6], rtol=1e-6)   # info
+
+
+def test_device_cache_thread_stress(engine):
+    """4 threads hammer register_with_info_async with OVERLAPPING tokens:
+    the shared LRU device cache (get/move/insert/evict under one lock)
+    must stay consistent and every resolver must return a valid result
+    (multi-agent mode shares one engine across agent threads + cloud)."""
+    import threading
+
+    rng = np.random.default_rng(7)
+    pad = 4096
+    n_scans = 6
+    clouds = [_cloud(rng, 1200 + 50 * i, pad) for i in range(n_scans)]
+    descs = []
+    for pts, val in clouds:
+        d, ov, pv = engine.extract(pts[None], val[None])
+        descs.append((d[0], ov[0], pts, pv[0]))
+
+    # tiny cache so eviction churns constantly under contention
+    old_cap = engine._dcache_cap
+    engine._dcache_cap = 4
+    engine.invalidate_device_cache()
+    errors = []
+    results = [[] for _ in range(4)]
+
+    def worker(w):
+        try:
+            r = np.random.default_rng(w)
+            for it in range(12):
+                i = int(r.integers(0, n_scans))
+                j = int(r.integers(0, n_scans))
+                di, ovi, pi, pvi = descs[i]
+                dj, ovj, pj, pvj = descs[j]
+                SE3, conf, rmse, info = engine.register_with_info(
+                    di, ovi, dj, ovj, pi, pvi, pj, pvj,
+                    src_token=100 + i, dst_token=100 + j)
+                assert np.all(np.isfinite(SE3)) and np.isfinite(rmse)
+                assert np.all(np.isfinite(info))
+                results[w].append((i, j, SE3))
+                if it % 5 == 4:
+                    engine.invalidate_device_cache(100 + i)
+        except Exception as e:       # noqa: BLE001
+            errors.append((w, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    engine._dcache_cap = old_cap
+    assert not errors, errors
+    assert len(engine._dcache) <= 4
+
+    # cached-path results identical to a cold single-thread rerun
+    engine.invalidate_device_cache()
+    for w in range(4):
+        for (i, j, SE3) in results[w][:3]:
+            di, ovi, pi, pvi = descs[i]
+            dj, ovj, pj, pvj = descs[j]
+            SE3_cold, _, _, _ = engine.register_with_info(
+                di, ovi, dj, ovj, pi, pvi, pj, pvj)
+            np.testing.assert_allclose(SE3, SE3_cold, atol=1e-5)
