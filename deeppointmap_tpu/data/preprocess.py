@@ -91,22 +91,40 @@ def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
         dist = jnp.linalg.norm(pts, axis=1)
         valid = valid & (dist >= cfg.min_dis) & (dist <= cfg.max_dis)
 
+    # ONE kNN pass feeds the outlier filter, normal estimation, and the
+    # coherence neighborhoods: the full P x P distance+top-k sweep is the
+    # dominant preprocessing cost (two sweeps measured ~16 ms of the
+    # ~29 ms/frame device budget at P=16384). The reference recomputes
+    # neighbors after outlier removal; here dropped points are re-masked
+    # out of the shared graph and each row re-ranked by masked distance --
+    # identical unless a survivor's true k-th neighbor lies beyond the
+    # shared top-30, which the radius caps make negligible (survivor-set
+    # parity is asserted in tests/test_preprocess.py).
+    nb = None
+    if cfg.use_outlier or cfg.use_lowpass:
+        k_shared = max(30 if cfg.use_lowpass else 0,
+                       (cfg.normals_num + 1) if cfg.use_lowpass else 0,
+                       (cfg.outlier_neighbors + 1) if cfg.use_outlier else 0)
+        nb = knn(pts, pts, k_shared, valid)
+
     if cfg.use_outlier:
         # statistical outlier: mean distance to k nearest survivors
         k_out = cfg.outlier_neighbors + 1
-        _, d2 = knn(pts, pts, k_out, valid)
+        d2 = nb[1][:, :k_out]
         mean_d = jnp.mean(jnp.sqrt(jnp.maximum(d2[:, 1:], 0.0)), axis=1)
         mu, sd = _masked_mean_std(mean_d, valid)
         valid = valid & (mean_d <= mu + cfg.outlier_std * sd)
 
     if cfg.use_lowpass:
-        # low-pass: top-flux neighbor-normal coherence. One kNN pass is
-        # shared between normal estimation (k=30 radius-capped) and the
-        # coherence neighborhoods (k=normals_num+1) -- both run over the
-        # same validity set, and the full 16k x 16k distance pass is the
-        # dominant cost here.
-        k_shared = max(30, cfg.normals_num + 1)
-        nb = knn(pts, pts, k_shared, valid)
+        # low-pass: top-flux neighbor-normal coherence over the shared
+        # graph, re-masked for outlier-dropped points
+        if cfg.use_outlier:
+            idx0, d20 = nb
+            d2m = jnp.where(jnp.take(valid, idx0, axis=0), d20,
+                            jnp.float32(1e9))
+            order = jnp.argsort(d2m, axis=1)
+            nb = (jnp.take_along_axis(idx0, order, axis=1),
+                  jnp.take_along_axis(d2m, order, axis=1))
         normals = estimate_normals(pts, valid, cfg.normals_radius,
                                    neighbors=nb)
         idx = nb[0][:, :cfg.normals_num + 1]

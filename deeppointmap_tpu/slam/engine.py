@@ -68,6 +68,15 @@ class InferenceEngine:
             tpu.get("loop_batch_buckets", DEFAULT_BATCH_BUCKETS))
         self.extract_chunk = int(tpu.get("extract_chunk",
                                          DEFAULT_EXTRACT_CHUNK))
+        # int16 fixed-point scan upload: the per-frame (P, 3) fp32 cloud +
+        # bool mask cost ~208 KB of host->device traffic (~11 ms on this
+        # link); int16 with a sentinel-coded validity column is 96 KB.
+        # LSB = 4 mm in meters (raw mode) or its /coor_scale equivalent
+        # (normalized mode) -- below LiDAR noise and the 0.3 m voxel grid;
+        # the measured trajectory cost is recorded in PARITY.md.
+        self.upload_quant = str(tpu.get("upload_quant", "int16"))
+        self.quant_scale = 0.004 if preprocess_cfg is not None \
+            else 0.004 / self.coor_scale
         self.encoder = encoder or Encoder.from_config(args)
         self.decoder = decoder or Decoder.from_config(args)
         self.enc_params = enc_params
@@ -122,6 +131,40 @@ class InferenceEngine:
                 for k in [k for k in self._dcache if k[0] == token]:
                     del self._dcache[k]
 
+    # ----------------------------------------------------- quantized upload
+    _QUANT_SENTINEL = -32768
+
+    def encode_points(self, points: np.ndarray, valid: np.ndarray
+                      ) -> np.ndarray:
+        """fp32 points + validity -> int16 fixed-point with sentinel-coded
+        invalid rows (halves the per-frame host->device bytes)."""
+        q = np.clip(np.round(np.asarray(points, np.float32)
+                             / self.quant_scale), -32767, 32767)
+        q = q.astype(np.int16)
+        q[~np.asarray(valid, bool)] = np.int16(self._QUANT_SENTINEL)
+        return q
+
+    def _dequant_input(self, points, valid):
+        """Trace-time input adapter: int16 uploads decode to fp32 +
+        derived validity; fp32 passes through."""
+        if points.dtype == jnp.int16:
+            v = points[..., 0] != jnp.int16(self._QUANT_SENTINEL)
+            pts = points.astype(jnp.float32) * jnp.float32(self.quant_scale)
+            return pts, (v if valid is None else v & valid)
+        if valid is None:
+            valid = jnp.ones(points.shape[:-1], bool)
+        return points, valid
+
+    def _encode_host(self, points, valid):
+        """Host-side upload prep: returns (array_to_upload, valid_arg)."""
+        if (self.upload_quant == "int16"
+                and isinstance(points, np.ndarray)
+                and points.dtype != np.int16):
+            return self.encode_points(points, valid), None
+        if isinstance(points, np.ndarray):
+            return points, (None if valid is None else np.asarray(valid))
+        return points, valid  # already a device array (pre-uploaded)
+
     # ------------------------------------------------------------ extract
     def _maybe_preprocess(self, points, valid):
         """Fused device-side filter chain (no-op when host-preprocessed).
@@ -134,6 +177,7 @@ class InferenceEngine:
             lambda p, v: preprocess(p, v, self.preprocess_cfg))(points, valid)
 
     def _extract_impl(self, points, valid):
+        points, valid = self._dequant_input(points, valid)
         pts_n, pts_valid = self._maybe_preprocess(points, valid)
         coor, fea, out_valid = self.encoder.apply(self.enc_params,
                                                   pts_n, pts_valid)
@@ -153,7 +197,10 @@ class InferenceEngine:
         program shape costs minutes of compilation on this toolchain)."""
         b = points.shape[0]
         if b == 1:
-            out = self._extract_fn(jnp.asarray(points), jnp.asarray(valid))
+            pts_up, valid_up = self._encode_host(points, valid)
+            out = self._extract_fn(
+                jnp.asarray(pts_up),
+                None if valid_up is None else jnp.asarray(valid_up))
             return jax.device_get(out)
 
         chunk = self.extract_chunk
@@ -169,8 +216,11 @@ class InferenceEngine:
                     [pc, np.zeros((chunk - nb, *pc.shape[1:]), pc.dtype)], 0)
                 vc = np.concatenate(
                     [vc, np.zeros((chunk - nb, vc.shape[1]), bool)], 0)
+            pc_up, vc_up = self._encode_host(pc, vc)
             pending.append(
-                (nb, self._extract_fn(jnp.asarray(pc), jnp.asarray(vc))))
+                (nb, self._extract_fn(
+                    jnp.asarray(pc_up),
+                    None if vc_up is None else jnp.asarray(vc_up))))
         fetched = jax.device_get([out for _, out in pending])
         descs, ovs, pvs = [], [], []
         for (nb, _), (d, ov, pv) in zip(pending, fetched):
@@ -282,6 +332,7 @@ class InferenceEngine:
     # ------------------------------------------------- fused odometry step
     def _odometry_impl(self, points, valid, cand_desc, cand_kvalid,
                        cand_pcd, cand_pvalid, num_pairs, num_pairs_actual):
+        points, valid = self._dequant_input(points, valid)
         desc, dvalid, pts_valid = self._extract_impl(points, valid)
         R, t, conf, rmse, n_in = self.decoder.apply(
             self.dec_params, cand_desc, desc[0], cand_kvalid, dvalid[0],
@@ -292,37 +343,114 @@ class InferenceEngine:
             new_pcd = points[0]  # already meters in raw mode
         info = information_matrix(cand_pcd, cand_pvalid, new_pcd,
                                   pts_valid[0], R, t)
-        return desc, dvalid, pts_valid, R, t, conf, rmse, info
+        # unbatched copies of the new scan's arrays (free inside the jit):
+        # the streaming caller caches them device-side under the scan's
+        # token so (a) they never re-upload when this scan becomes the
+        # next candidate and (b) the resolver can skip fetching them
+        return (desc, dvalid, pts_valid, R, t, conf, rmse, info,
+                desc[0], dvalid[0], pts_valid[0], new_pcd)
+
+    def _dcache_put(self, key, dev) -> None:
+        with self._dcache_lock:
+            self._dcache[key] = dev
+            if len(self._dcache) > self._dcache_cap:
+                self._dcache.popitem(last=False)
+
+    def _dcache_probe(self, token, names):
+        """Device-cache lookup of several per-token arrays (all or
+        nothing). None when any is missing."""
+        if token is None:
+            return None
+        with self._dcache_lock:
+            out = []
+            for name in names:
+                hit = self._dcache.get((token, name))
+                if hit is None:
+                    return None
+                out.append(hit)
+            for name in names:
+                self._dcache.move_to_end((token, name))
+        return out
+
+    @staticmethod
+    def _materialize(x):
+        return np.asarray(x() if callable(x) else x)
 
     def odometry_step_async(self, points: np.ndarray, valid: np.ndarray,
                             cand_desc, cand_kvalid, cand_pcd, cand_pvalid,
-                            num_sample=0.5, cand_token=None):
+                            num_sample=0.5, cand_token=None, new_token=None):
         """Dispatch the fused odometry step WITHOUT waiting; returns a
         zero-arg resolver. Lets a streaming caller overlap frame i+1's
         dispatch (+ device compute) with frame i's result fetch -- the
-        two tunnel round-trips otherwise serialize per frame."""
-        m_real = int(cand_kvalid.sum())
-        src, sv, mb = self._pad_tokens(cand_desc, cand_kvalid)
+        two tunnel round-trips otherwise serialize per frame.
+
+        Candidate arrays (`cand_desc`/`cand_pcd`/`cand_pvalid`) may be
+        zero-arg callables: when the token-keyed device cache holds the
+        candidate (it does for any scan dispatched with `new_token`),
+        they are never called -- a candidate switch costs no host->device
+        re-upload and no host materialization.
+
+        With `new_token` set, the resolver returns LAZY descriptors:
+        (desc_thunk () -> (K, C+3), desc_valid (K,), pts_valid_thunk
+        () -> (P,), SE3, conf, rmse, info) -- ~150 KB/frame of device->host
+        traffic drops off the critical path and is fetched only when the
+        host actually touches the arrays. Without `new_token` the legacy
+        batched eager contract is returned."""
+        m_real = int(np.asarray(cand_kvalid).sum())
         n_tok = self.n_tokens
+        ck = lambda name: (cand_token, name) if cand_token is not None else None
+
+        hit = self._dcache_probe(cand_token, ("kp_pad", "kv_pad", "pcd",
+                                              "pv"))
+        if hit is not None:
+            kp, kv, pc, pv = hit
+            mb = kp.shape[0]
+        else:
+            src, sv, mb = self._pad_tokens(self._materialize(cand_desc),
+                                           np.asarray(cand_kvalid))
+            kp = self._dev(src, ck("kp_pad"))
+            kv = self._dev(sv, ck("kv_pad"))
+            pc = self._dev(self._materialize(cand_pcd), ck("pcd"))
+            pv = self._dev(self._materialize(cand_pvalid), ck("pv"))
         k_static = num_pairs_for(mb, n_tok, num_sample)
         k_actual = num_pairs_for(min(m_real, mb), n_tok, num_sample)
-        ck = lambda name: (cand_token, name) if cand_token is not None else None
+        pts_up, valid_up = self._encode_host(points, valid)
         out = self._odometry_fn(
-            jnp.asarray(points), jnp.asarray(valid),
-            self._dev(src, ck("kp_pad")), self._dev(sv, ck("kv_pad")),
-            self._dev(cand_pcd, ck("pcd")),
-            self._dev(cand_pvalid, ck("pv")),
+            jnp.asarray(pts_up),
+            None if valid_up is None else jnp.asarray(valid_up),
+            kp, kv, pc, pv,
             num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
+        (desc, dvalid, pts_valid, R, t, conf, rmse, info,
+         desc0, dvalid0, pv0, new_pcd) = out
+
+        if new_token is not None:
+            self._dcache_put((new_token, "kp_pad"), desc0)
+            self._dcache_put((new_token, "kv_pad"), dvalid0)
+            self._dcache_put((new_token, "pcd"), new_pcd)
+            self._dcache_put((new_token, "pv"), pv0)
+
+            def resolve_lazy():
+                dv_h, R_h, t_h, conf_h, rmse_h, info_h = jax.device_get(
+                    (dvalid0, R, t, conf, rmse, info))
+                SE3 = np.eye(4)
+                SE3[:3, :3] = np.asarray(R_h, np.float64)
+                SE3[:3, 3] = np.asarray(t_h, np.float64)
+                return (lambda: jax.device_get(desc0), np.asarray(dv_h),
+                        lambda: jax.device_get(pv0), SE3, float(conf_h),
+                        float(rmse_h), np.asarray(info_h, np.float64))
+
+            return resolve_lazy
 
         def resolve():
-            desc, dvalid, pts_valid, R, t, conf, rmse, info = \
-                jax.device_get(out)
+            desc_h, dvalid_h, ptsv_h, R_h, t_h, conf_h, rmse_h, info_h = \
+                jax.device_get((desc, dvalid, pts_valid, R, t, conf, rmse,
+                                info))
             SE3 = np.eye(4)
-            SE3[:3, :3] = np.asarray(R, np.float64)
-            SE3[:3, 3] = np.asarray(t, np.float64)
-            return (np.asarray(desc), np.asarray(dvalid),
-                    np.asarray(pts_valid), SE3, float(conf), float(rmse),
-                    np.asarray(info, np.float64))
+            SE3[:3, :3] = np.asarray(R_h, np.float64)
+            SE3[:3, 3] = np.asarray(t_h, np.float64)
+            return (np.asarray(desc_h), np.asarray(dvalid_h),
+                    np.asarray(ptsv_h), SE3, float(conf_h), float(rmse_h),
+                    np.asarray(info_h, np.float64))
 
         return resolve
 

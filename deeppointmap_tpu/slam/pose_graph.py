@@ -30,10 +30,18 @@ EdgeType = Literal["odom", "loop", "locz", "prxy"]
 
 class ScanPack:
     """Per-scan record (reference: pose_graph.py:19-106).
-    token = (agent_id << 16) + timestep."""
+    token = (agent_id << 16) + timestep.
 
-    __slots__ = ("token", "timestep", "timestamp", "agent_id", "key_points",
-                 "key_valid", "full_pcd", "full_valid", "SE3_pred", "SE3_gt",
+    `key_points` and `full_valid` may be set to ZERO-ARG CALLABLES: the
+    streaming engine leaves per-scan device outputs un-fetched (the
+    descriptor fetch is ~7 ms of link traffic per frame on this TPU
+    tunnel) and materializes them on first host access. Engine calls
+    bypass the fetch entirely through the token-keyed device cache; use
+    `key_points_ref()` / `full_valid_ref()` to pass the un-materialized
+    handle."""
+
+    __slots__ = ("token", "timestep", "timestamp", "agent_id", "_key_points",
+                 "key_valid", "full_pcd", "_full_valid", "SE3_pred", "SE3_gt",
                  "gps_position", "fixed", "type", "coor_sys")
 
     def __init__(self, timestamp: float, agent_id: int, timestep: int,
@@ -49,14 +57,21 @@ class ScanPack:
         self.timestep = timestep
         self.timestamp = timestamp
         self.agent_id = agent_id
-        self.key_points = key_points          # (K, C+3) float32, xyz last 3
-        self.key_valid = (key_valid if key_valid is not None else
-                          (None if key_points is None
-                           else np.ones(key_points.shape[0], bool)))
+        self._key_points = key_points         # (K, C+3) float32, xyz last 3
+        if key_valid is not None:
+            self.key_valid = key_valid
+        elif key_points is None:
+            self.key_valid = None
+        else:
+            assert not callable(key_points), \
+                "lazy key_points requires explicit key_valid"
+            self.key_valid = np.ones(key_points.shape[0], bool)
         self.full_pcd = full_pcd              # (N, 3) float32
-        self.full_valid = (full_valid if full_valid is not None else
-                           (None if full_pcd is None
-                            else np.ones(full_pcd.shape[0], bool)))
+        if full_valid is not None:
+            self._full_valid = full_valid
+        else:
+            self._full_valid = (None if full_pcd is None
+                                else np.ones(full_pcd.shape[0], bool))
         self.SE3_pred = (np.asarray(SE3_pred, np.float64).reshape(4, 4)
                          if SE3_pred is not None else None)
         self.SE3_gt = (np.asarray(SE3_gt, np.float64).reshape(4, 4)
@@ -67,10 +82,41 @@ class ScanPack:
         self.type: Literal["full", "non-keyframe"] = "full"
         self.coor_sys = coor_sys
 
+    @property
+    def key_points(self) -> Optional[np.ndarray]:
+        v = self._key_points
+        if callable(v):
+            v = np.asarray(v(), np.float32)
+            self._key_points = v
+        return v
+
+    @key_points.setter
+    def key_points(self, v) -> None:
+        self._key_points = v
+
+    def key_points_ref(self):
+        """Raw handle (array or un-materialized thunk) for engine calls."""
+        return self._key_points
+
+    @property
+    def full_valid(self) -> Optional[np.ndarray]:
+        v = self._full_valid
+        if callable(v):
+            v = np.asarray(v(), bool)
+            self._full_valid = v
+        return v
+
+    @full_valid.setter
+    def full_valid(self, v) -> None:
+        self._full_valid = v
+
+    def full_valid_ref(self):
+        return self._full_valid
+
     def copy(self) -> "ScanPack":
         c = ScanPack(self.timestamp, self.agent_id, self.timestep,
-                     self.key_points, self.key_valid, self.full_pcd,
-                     self.full_valid, self.SE3_pred, self.SE3_gt,
+                     self._key_points, self.key_valid, self.full_pcd,
+                     self._full_valid, self.SE3_pred, self.SE3_gt,
                      self.gps_position, self.fixed, self.coor_sys)
         c.type = self.type
         return c

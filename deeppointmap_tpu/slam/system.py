@@ -67,21 +67,28 @@ class SlamSystem:
 
     # -------------------------------------------------------------- build
     def _make_scan(self, descriptors, desc_valid, point_cloud, pcd_valid,
-                   R, T) -> ScanPack:
+                   R, T, timestep: Optional[int] = None) -> ScanPack:
         """Assemble a ScanPack (reference: core.py:371-379); full_pcd is
         stored in meters (inputs are normalized unless the engine runs the
-        preprocessing on device, in which case they are raw meters)."""
-        self.frame_id += 1
+        preprocessing on device, in which case they are raw meters).
+        `descriptors`/`pcd_valid` may be zero-arg thunks (lazy device
+        fetches from the streaming engine); `timestep` is pre-assigned by
+        the pipelined odometer so the scan token exists at dispatch time."""
+        if timestep is None:
+            self.frame_id += 1
+            timestep = self.frame_id
         scale = 1.0 if self.engine.preprocess_cfg is not None \
             else self.coor_scale
         return ScanPack(
-            timestamp=self.frame_id * 0.1,
+            timestamp=timestep * 0.1,
             agent_id=self.system_id,
-            timestep=self.frame_id,
-            key_points=np.asarray(descriptors, np.float32),
+            timestep=timestep,
+            key_points=(descriptors if callable(descriptors)
+                        else np.asarray(descriptors, np.float32)),
             key_valid=np.asarray(desc_valid, bool),
             full_pcd=np.asarray(point_cloud, np.float32) * scale,
-            full_valid=np.asarray(pcd_valid, bool),
+            full_valid=(pcd_valid if callable(pcd_valid)
+                        else np.asarray(pcd_valid, bool)),
             coor_sys=self.coor_sys,
             SE3_gt=se3m.se3(R, T) if R is not None else None)
 
@@ -253,9 +260,19 @@ class SlamSystem:
             valid = np.asarray(valid, bool)
             if point_cloud.ndim == 2:
                 point_cloud, valid = point_cloud[None], valid[None]
+            # start the host->device copy NOW (device_put is async): the
+            # per-frame scan upload streams on this stage's thread instead
+            # of serializing inside the odometer's dispatch. With int16
+            # upload quantization (tpu.upload_quant) the cloud + validity
+            # travel as ONE 96 KB array instead of 208 KB.
+            import jax
+
+            pc_up, v_up = self.engine._encode_host(point_cloud, valid)
+            pc_dev = jax.device_put(pc_up)
+            v_dev = None if v_up is None else jax.device_put(v_up)
             self.result_logger.record_perf("to_device",
                                            time.perf_counter() - perf_t)
-            q_out.put((point_cloud, R, T, valid))
+            q_out.put((point_cloud, R, T, valid, pc_dev, v_dev))
 
     def _mt_odometer(self, q_in, q_out):
         """Fused extraction + registration with a software pipeline of
@@ -271,23 +288,17 @@ class SlamSystem:
         ss = self.args.slam_system
         tpu_cfg = self.args.get("tpu") or {}
         depth = int(tpu_cfg.get("odometer_pipeline_depth", 1))
-        pending = []  # FIFO of (resolver, pc, R, T, cand, extras, perf_t)
+        pending = []  # FIFO of (resolver, pc, R, T, cand, extras, ts, perf_t)
 
         def flush():
-            resolver, pc, R, T, cand, extras, perf_t = pending.pop(0)
-            desc, dvalid, pts_valid, SE3, conf, rmse, info = resolver()
-            new_scan = self._make_scan(desc[0], dvalid[0], pc[0],
-                                       pts_valid[0], R, T)
-            odom_edge = PoseGraphEdge(
-                src_scan_token=cand.token, dst_scan_token=new_scan.token,
-                SE3=se3m.inv(SE3), information_mat=info, type="odom",
-                confidence=conf, rmse=rmse)
-            # extra candidates (odometer_candidates_num > 1): unfused path
-            for extra in extras:
-                self.odometry.odometry(new_scan, [extra])
+            """Hand the un-resolved bundle downstream: the MAPPING stage
+            calls the resolver, so the device->host result wait never
+            blocks this thread's dispatch cadence (the fetch latency is
+            absorbed concurrently with the next frame's dispatch)."""
+            bundle = pending.pop(0)
             self.result_logger.record_perf("odometer",
-                                           time.perf_counter() - perf_t)
-            q_out.put((new_scan, odom_edge))
+                                           time.perf_counter() - bundle[-1])
+            q_out.put(("bundle", bundle))
 
         while True:
             item = q_in.get()
@@ -298,7 +309,9 @@ class SlamSystem:
                 if item == EXIT_CODE.exit:
                     break
                 continue
-            point_cloud, R, T, valid = item
+            point_cloud, R, T, valid = item[:4]
+            pc_dev, v_dev = item[4:6] if len(item) > 4 else (point_cloud,
+                                                             valid)
             perf_t = time.perf_counter()
             candidates = self.odometry.search_candidates(
                 agent_id=self.system_id)
@@ -306,7 +319,7 @@ class SlamSystem:
                 while pending:
                     flush()
                 descriptors, desc_valid, pts_valid = self.extraction.process(
-                    point_cloud, valid)
+                    pc_dev, v_dev)
                 new_scan = self._make_scan(descriptors[0], desc_valid[0],
                                            point_cloud[0], pts_valid[0],
                                            R, T)
@@ -316,15 +329,37 @@ class SlamSystem:
                 self._upload(new_scan, None)
                 continue
             cand = candidates[0]
+            # pre-assign the scan's token so the engine can device-cache
+            # the new scan's arrays under it at dispatch time
+            self.frame_id += 1
+            ts = self.frame_id
             resolver = self.engine.odometry_step_async(
-                point_cloud, valid, cand.key_points, cand.key_valid,
-                cand.full_pcd, cand.full_valid,
+                pc_dev, v_dev, cand.key_points_ref(), cand.key_valid,
+                cand.full_pcd, cand.full_valid_ref(),
                 num_sample=ss.registration_sample_odometer,
-                cand_token=cand.token)
+                cand_token=cand.token,
+                new_token=(self.system_id << 16) + ts)
             pending.append((resolver, point_cloud, R, T, cand,
-                            candidates[1:], perf_t))
+                            candidates[1:], ts, perf_t))
             while len(pending) > depth:
                 flush()
+
+    def _resolve_bundle(self, bundle):
+        """Materialize an odometer dispatch into (scan, odom edge). Runs on
+        the mapping thread: the result fetch overlaps the odometer's next
+        dispatches."""
+        resolver, pc, R, T, cand, extras, ts, perf_t = bundle
+        desc_thunk, dvalid, pv_thunk, SE3, conf, rmse, info = resolver()
+        new_scan = self._make_scan(desc_thunk, dvalid, pc[0],
+                                   pv_thunk, R, T, timestep=ts)
+        odom_edge = PoseGraphEdge(
+            src_scan_token=cand.token, dst_scan_token=new_scan.token,
+            SE3=se3m.inv(SE3), information_mat=info, type="odom",
+            confidence=conf, rmse=rmse)
+        # extra candidates (odometer_candidates_num > 1): unfused path
+        for extra in extras:
+            self.odometry.odometry(new_scan, [extra])
+        return new_scan, odom_edge
 
     def _mt_mapping(self, q_in, q_out):
         while True:
@@ -334,7 +369,10 @@ class SlamSystem:
                 if item == EXIT_CODE.exit:
                     break
                 continue
-            new_scan, odom_edge = item
+            if item[0] == "bundle":
+                new_scan, odom_edge = self._resolve_bundle(item[1])
+            else:
+                new_scan, odom_edge = item
             perf_t = time.perf_counter()
             result = self.mapping.process(new_scan, odom_edge)
             self.result_logger.record_perf("mapping",

@@ -51,7 +51,8 @@ def setup():
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = config_from_yaml(os.path.join(here, "configs/infer/sample.yaml"))
-    args.tpu["bf16"] = False  # full fp32 for oracle comparison
+    args.tpu["bf16"] = False          # full fp32 for oracle comparison
+    args.tpu["upload_quant"] = "none"  # exact input coordinates
 
     torch.manual_seed(0)
     t_enc = TorchEncoder(args)

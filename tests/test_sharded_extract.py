@@ -14,6 +14,9 @@ def setup(tmp_path_factory):
     if len(jax.devices()) < 2:
         pytest.skip("needs the multi-device CPU mesh (conftest sets 8)")
     args = small_args(tmp_path_factory.mktemp("shard"))
+    # the sharded offline extractor consumes fp32 directly (no tunnel, no
+    # upload quantization); compare against an unquantized engine
+    args.tpu["upload_quant"] = "none"
     from deeppointmap_tpu.pipeline.common import init_params
     from deeppointmap_tpu.slam.engine import InferenceEngine
 
