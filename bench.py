@@ -175,16 +175,24 @@ def _accuracy(q):
     from deeppointmap_tpu.utils.evaluation import ate_rmse
     from scripts.train_synthetic_demo import demo_args
 
-    root = "/tmp/dpm_bench_world"
+    # two laps around the circle: the second lap revisits the first at
+    # graph distance ~48 (beyond the trust zone), so loop closure must
+    # detect, verify, and optimize (the loops-on vs loops-off ATE delta
+    # is the round-over-round accuracy signal)
+    root = "/tmp/dpm_bench_world2"
     rng = np.random.default_rng(0)
     world = make_world(rng)
-    poses = circle_trajectory(60, radius=25.0)
+    lap = circle_trajectory(48, radius=25.0)
+    poses = lap + lap
     if not os.path.isdir(os.path.join(root, "scene0")):
         write_npz_sequence(root, world, poses, rng=rng, max_points=2000)
 
     out = {}
     for name, loops in (("ate_m", True), ("ate_no_loop_m", False)):
         args = demo_args(root, "/tmp/dpm_bench_acc")
+        # one lap is ~26 keyframes; revisits sit at that graph distance,
+        # so the trust zone must end well inside it
+        args.slam_system.loop_detection_trust_range = 15
         args.slam_system.enable_loop_closure = loops
         args.slam_system.enable_global_optimization = loops
         enc, dec, ep, dp = load_weights(args, wpath)

@@ -186,3 +186,45 @@ def test_device_cache_thread_stress(engine):
             SE3_cold, _, _, _ = engine.register_with_info(
                 di, ovi, dj, ovj, pi, pvi, pj, pvj)
             np.testing.assert_allclose(SE3, SE3_cold, atol=1e-5)
+
+
+def test_upload_quantization_roundtrip(tmp_path_factory):
+    """int16 upload quantization: sentinel-coded validity decodes exactly;
+    coordinates within LSB/2; extraction output stays within a small
+    tolerance of the unquantized engine."""
+    import jax.numpy as jnp
+
+    from tests.test_slam_e2e import small_args
+    from deeppointmap_tpu.pipeline.common import init_params
+    from deeppointmap_tpu.slam.engine import InferenceEngine
+
+    rng = np.random.default_rng(3)
+    pad = 4096
+    pts, val = _cloud(rng, 2000, pad)
+
+    args_q = small_args(tmp_path_factory.mktemp("quant"))
+    args_q.tpu["upload_quant"] = "int16"
+    enc, dec, ep, dp = init_params(args_q, seed=0)
+    eng_q = InferenceEngine(args_q, ep, dp, encoder=enc, decoder=dec)
+
+    # encode/decode roundtrip
+    q = eng_q.encode_points(pts, val)
+    assert q.dtype == np.int16
+    np.testing.assert_array_equal(q[~val, 0], np.int16(-32768))
+    dec_pts = q.astype(np.float32) * eng_q.quant_scale
+    err = np.abs(dec_pts[val] - pts[val]).max()
+    assert err <= eng_q.quant_scale / 2 + 1e-9, err
+
+    args_n = small_args(tmp_path_factory.mktemp("noquant"))
+    args_n.tpu["upload_quant"] = "none"
+    eng_n = InferenceEngine(args_n, ep, dp, encoder=enc, decoder=dec)
+
+    d_q, ov_q, pv_q = eng_q.extract(pts[None], val[None])
+    d_n, ov_n, pv_n = eng_n.extract(pts[None], val[None])
+    # filter decisions are stable under LSB/2 coordinate perturbation
+    np.testing.assert_array_equal(pv_q, pv_n)
+    np.testing.assert_array_equal(ov_q, ov_n)
+    assert d_q.shape == d_n.shape and np.isfinite(d_q).all()
+    # NOTE: individual FPS picks may legitimately differ (argmax near-ties
+    # cascade); the trajectory-level accuracy cost of quantization is
+    # measured on real scans by scripts/parity_trajectory.py (PARITY.md)
