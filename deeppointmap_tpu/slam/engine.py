@@ -71,12 +71,16 @@ class InferenceEngine:
         # int16 fixed-point scan upload: the per-frame (P, 3) fp32 cloud +
         # bool mask cost ~208 KB of host->device traffic (~11 ms on this
         # link); int16 with a sentinel-coded validity column is 96 KB.
-        # LSB = 4 mm in meters (raw mode) or its /coor_scale equivalent
-        # (normalized mode) -- below LiDAR noise and the 0.3 m voxel grid;
-        # the measured trajectory cost is recorded in PARITY.md.
+        # LSB = 2 mm in meters (raw mode) or its /coor_scale equivalent
+        # (normalized mode) -- below LiDAR noise and the 0.3 m voxel grid.
+        # Range is +-65.5 m: raw points beyond it CLIP, which is safe
+        # because they land outside the <=60 m distance crop and are
+        # filtered exactly like their true positions would be. The
+        # measured trajectory cost is recorded in PARITY.md.
         self.upload_quant = str(tpu.get("upload_quant", "int16"))
-        self.quant_scale = 0.004 if preprocess_cfg is not None \
-            else 0.004 / self.coor_scale
+        lsb = float(tpu.get("upload_quant_lsb", 0.002))
+        self.quant_scale = lsb if preprocess_cfg is not None \
+            else lsb / self.coor_scale
         self.encoder = encoder or Encoder.from_config(args)
         self.decoder = decoder or Decoder.from_config(args)
         self.enc_params = enc_params

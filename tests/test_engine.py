@@ -19,9 +19,12 @@ def engine(tmp_path_factory):
 
 
 def _cloud(rng, n, pad):
+    # std 0.15 normalized = 9 m in meters: inside the <=60 m crop the
+    # production transforms guarantee (and the int16 upload's +-65.5 m
+    # representable range)
     pts = np.zeros((pad, 3), np.float32)
     v = np.zeros((pad,), bool)
-    pts[:n] = rng.normal(0, 0.3, size=(n, 3))
+    pts[:n] = np.clip(rng.normal(0, 0.15, size=(n, 3)), -0.95, 0.95)
     v[:n] = True
     return pts, v
 
@@ -86,17 +89,24 @@ def test_odometry_step_matches_unfused(engine):
     p2, v2 = _cloud(rng, 1300, pad)
     d1, ov1, pv1 = engine.extract(p1[None], v1[None])
 
+    # full_pcd contract is METERS (ScanPack stores meters; the fused step
+    # derives the new scan's meters internally via coor_scale)
+    scale = engine.coor_scale
     desc, dv, pv, SE3_f, conf_f, rmse_f, info_f = engine.odometry_step(
-        p2[None], v2[None], d1[0], ov1[0], p1, pv1[0], num_sample=0.5)
+        p2[None], v2[None], d1[0], ov1[0], p1 * scale, pv1[0],
+        num_sample=0.5)
 
     d2, ov2, pv2 = engine.extract(p2[None], v2[None])
     np.testing.assert_allclose(desc[0], d2[0], atol=1e-5)
     SE3_u, conf_u, rmse_u, info_u = engine.register_with_info(
-        d1[0], ov1[0], d2[0], ov2[0], p1, pv1[0], p2, pv2[0],
-        num_sample=0.5)
+        d1[0], ov1[0], d2[0], ov2[0], p1 * scale, pv1[0], p2 * scale,
+        pv2[0], num_sample=0.5)
     np.testing.assert_allclose(SE3_f, SE3_u, atol=1e-4)
     assert conf_f == pytest.approx(conf_u, abs=1e-5)
-    np.testing.assert_allclose(info_f, info_u, rtol=1e-4, atol=1e-2)
+    # fused new_pcd is derived from the (int16-quantized) upload while the
+    # unfused path gets the raw fp32 host array: 2 mm coordinate deltas
+    # flow linearly into the G^T G entries
+    np.testing.assert_allclose(info_f, info_u, rtol=1e-2, atol=5e-2)
 
 
 def test_async_dispatch_overlap(engine):
@@ -207,13 +217,19 @@ def test_upload_quantization_roundtrip(tmp_path_factory):
     enc, dec, ep, dp = init_params(args_q, seed=0)
     eng_q = InferenceEngine(args_q, ep, dp, encoder=enc, decoder=dec)
 
-    # encode/decode roundtrip
+    # encode/decode roundtrip: LSB/2 inside the representable range,
+    # clipping beyond it (production-safe: host-mode coords are <=1 after
+    # the 60 m crop + /60 normalize; raw mode clips to +-65.5 m, outside
+    # the crop)
     q = eng_q.encode_points(pts, val)
     assert q.dtype == np.int16
     np.testing.assert_array_equal(q[~val, 0], np.int16(-32768))
     dec_pts = q.astype(np.float32) * eng_q.quant_scale
-    err = np.abs(dec_pts[val] - pts[val]).max()
-    assert err <= eng_q.quant_scale / 2 + 1e-9, err
+    lim = 32767 * eng_q.quant_scale
+    in_range = val & (np.abs(pts) <= lim - eng_q.quant_scale).all(axis=1)
+    err = np.abs(dec_pts[in_range] - pts[in_range]).max()
+    assert err <= eng_q.quant_scale * 0.5 * 1.05, err  # LSB/2 + fp32 eps
+    assert np.abs(dec_pts[val]).max() <= lim + 1e-9  # clip, never wrap
 
     args_n = small_args(tmp_path_factory.mktemp("noquant"))
     args_n.tpu["upload_quant"] = "none"
