@@ -28,6 +28,9 @@ from deeppointmap_tpu.ops.infomat import information_matrix
 
 DEFAULT_REG_BUCKETS = (256, 512, 1024, 2048, 4096)
 DEFAULT_BATCH_BUCKETS = (1, 4, 16, 64)
+#: member-count buckets for device-assembled map tiles (the reference
+#: bounds tiles to <=16 keyframes via graph level 5 + 20 m radius)
+DEFAULT_TILE_MEMBER_BUCKETS = (4, 8, 16)
 #: extraction batches larger than this are split into chunks of exactly
 #: this size -- every XLA program shape is expensive to compile on this
 #: toolchain, so extraction uses only two shapes: 1 and EXTRACT_CHUNK
@@ -81,6 +84,8 @@ class InferenceEngine:
         lsb = float(tpu.get("upload_quant_lsb", 0.002))
         self.quant_scale = lsb if preprocess_cfg is not None \
             else lsb / self.coor_scale
+        self.tile_member_buckets = tuple(
+            tpu.get("tile_member_buckets", DEFAULT_TILE_MEMBER_BUCKETS))
         self.encoder = encoder or Encoder.from_config(args)
         self.decoder = decoder or Decoder.from_config(args)
         self.enc_params = enc_params
@@ -95,6 +100,10 @@ class InferenceEngine:
                                     static_argnames=("num_pairs",))
         self._reg_info_fn = jax.jit(self._register_info_impl,
                                     static_argnames=("num_pairs",))
+        self._tile_reg_fn = jax.jit(self._tile_reg_info_impl,
+                                    static_argnames=("num_pairs",))
+        self._tile_tile_reg_fn = jax.jit(self._tile_tile_reg_info_impl,
+                                         static_argnames=("num_pairs",))
         # encoder output token count: coords of the FP target level
         e = args.encoder
         self.n_tokens = int(e.npoint[len(e.npoint) - 1 - e.upsample_layers])
@@ -332,6 +341,181 @@ class InferenceEngine:
         return self.register_with_info_async(
             src_desc, src_valid, dst_desc, dst_valid, src_pcd, src_pvalid,
             dst_pcd, dst_pvalid, num_sample, src_token, dst_token)()
+
+    # ---------------------------------------- device-assembled map tiles
+    def _tile(self, descs_tup, kvs_tup, poses, mvalid):
+        """(K,C) x S member descriptors (device refs) + relative poses
+        (S,4,4) -> tile (S*K, C+3), tile validity (S*K,). Runs INSIDE the
+        jit: the host uploads only the poses; member descriptors come
+        from the token-keyed device cache."""
+        d = jnp.stack(descs_tup)                       # (S, K, C)
+        kv = jnp.stack(kvs_tup)                        # (S, K)
+        R = poses[:, :3, :3]
+        t = poses[:, :3, 3]
+        xyz = d[..., -3:]
+        moved = jnp.einsum("sij,skj->ski", R, xyz) + t[:, None, :]
+        tile = jnp.concatenate([d[..., :-3], moved], axis=-1)
+        s, k, c = tile.shape
+        return (tile.reshape(s * k, c),
+                (kv & mvalid[:, None]).reshape(s * k))
+
+    def _tile_reg_info_impl(self, descs_tup, kvs_tup, poses, mvalid,
+                            dst_desc, dst_kv, src_pcd, spv, dst_pcd, dpv,
+                            num_pairs, num_pairs_actual):
+        """Scan-to-map: tile assembly + registration + info matrix fused
+        into one program (reference: mapping.py:136-170)."""
+        tile, tvalid = self._tile(descs_tup, kvs_tup, poses, mvalid)
+        R, t, conf, rmse, n_in = self.decoder.apply(
+            self.dec_params, tile, dst_desc, tvalid, dst_kv,
+            num_pairs, num_pairs_actual, method=Decoder.registration)
+        info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t)
+        return R, t, conf, rmse, info
+
+    def _tile_tile_reg_info_impl(self, s_descs, s_kvs, s_poses, s_mvalid,
+                                 d_descs, d_kvs, d_poses, d_mvalid,
+                                 src_pcd, spv, dst_pcd, dpv,
+                                 num_pairs, num_pairs_actual):
+        """Map-to-map (loop registration, reference: loop_closure.py:
+        185-258): both tiles assembled on device."""
+        s_tile, s_valid = self._tile(s_descs, s_kvs, s_poses, s_mvalid)
+        d_tile, d_valid = self._tile(d_descs, d_kvs, d_poses, d_mvalid)
+        R, t, conf, rmse, n_in = self.decoder.apply(
+            self.dec_params, s_tile, d_tile, s_valid, d_valid,
+            num_pairs, num_pairs_actual, method=Decoder.registration)
+        info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t)
+        return R, t, conf, rmse, info
+
+    def _members_dev(self, members):
+        """members: [(token, key_points_ref, key_valid)] -> (desc device
+        refs, kv device refs, total real valid tokens). Cache hits cost no
+        upload; misses materialize + upload + cache."""
+        descs, kvs, m_real = [], [], 0
+        for token, kp_ref, kv in members:
+            hit = self._dcache_probe(token, ("kp_pad", "kv_pad"))
+            if hit is None:
+                kp = self._materialize(kp_ref)
+                d = self._dev(kp, (token, "kp_pad"))
+                v = self._dev(np.asarray(kv, bool), (token, "kv_pad"))
+            else:
+                d, v = hit
+            assert d.shape[0] == self.n_tokens, d.shape
+            descs.append(d)
+            kvs.append(v)
+            m_real += int(np.asarray(kv).sum())
+        return descs, kvs, m_real
+
+    def _pad_members(self, members, centering_SE3):
+        """Bucket the member list; oversize keeps the members nearest the
+        tile center (the old host path cropped oversize tiles the same
+        way). Returns (members, rel poses (S,4,4) f32, mvalid (S,))."""
+        inv_c = np.linalg.inv(np.asarray(centering_SE3, np.float64))
+        if len(members) > self.tile_member_buckets[-1]:
+            c_t = np.asarray(centering_SE3, np.float64)[:3, 3]
+            members = sorted(
+                members,
+                key=lambda m: np.linalg.norm(m[3][:3, 3] - c_t)
+            )[:self.tile_member_buckets[-1]]
+        s = _bucket(len(members), self.tile_member_buckets)
+        poses = np.tile(np.eye(4, dtype=np.float32), (s, 1, 1))
+        mvalid = np.zeros((s,), bool)
+        for i, m in enumerate(members):
+            poses[i] = (inv_c @ np.asarray(m[3], np.float64)
+                        ).astype(np.float32)
+            mvalid[i] = True
+        padded = list(members) + [members[0]] * (s - len(members))
+        return padded, poses, mvalid
+
+    def register_scan_to_map_with_info_async(
+            self, members, centering_SE3, dst_desc_ref, dst_kvalid,
+            src_pcd_ref, src_pvalid_ref, dst_pcd_ref, dst_pvalid_ref,
+            num_sample=0.5, src_token=None, dst_token=None):
+        """Scan-to-map registration with the map tile assembled ON DEVICE.
+
+        members: [(token, key_points_ref, key_valid, SE3_pred)] keyframes
+        of the local map (key_points_ref may be an un-materialized device
+        thunk). The host uploads only the (S,4,4) relative poses; a tile
+        that used to cost a ~2 MB host->device transfer per keyframe event
+        now costs ~1 KB when the members are device-cached.
+
+        Returns a zero-arg resolver -> (SE3, conf, rmse, info)."""
+        padded, poses, mvalid = self._pad_members(members, centering_SE3)
+        descs, kvs, m_real = self._members_dev(
+            [(m[0], m[1], m[2]) for m in padded[:len(members)]])
+        descs += [descs[0]] * (len(padded) - len(members))
+        kvs += [kvs[0]] * (len(padded) - len(members))
+
+        dhit = self._dcache_probe(dst_token, ("kp_pad", "kv_pad"))
+        if dhit is None:
+            dd = self._dev(self._materialize(dst_desc_ref),
+                           (dst_token, "kp_pad") if dst_token else None)
+            dv = self._dev(np.asarray(dst_kvalid, bool),
+                           (dst_token, "kv_pad") if dst_token else None)
+        else:
+            dd, dv = dhit
+        n_real = int(np.asarray(dst_kvalid).sum())
+
+        mb = len(padded) * self.n_tokens
+        k_static = num_pairs_for(mb, self.n_tokens, num_sample)
+        k_actual = num_pairs_for(min(m_real, mb),
+                                 min(n_real, self.n_tokens), num_sample)
+        skey = lambda n: (src_token, n) if src_token is not None else None
+        dkey = lambda n: (dst_token, n) if dst_token is not None else None
+        out = self._tile_reg_fn(
+            tuple(descs), tuple(kvs), jnp.asarray(poses),
+            jnp.asarray(mvalid), dd, dv,
+            self._dev(self._materialize(src_pcd_ref), skey("pcd")),
+            self._dev(self._materialize(src_pvalid_ref), skey("pv")),
+            self._dev(self._materialize(dst_pcd_ref), dkey("pcd")),
+            self._dev(self._materialize(dst_pvalid_ref), dkey("pv")),
+            num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
+        return self._se3_resolver(out)
+
+    def register_map_to_map_with_info_async(
+            self, src_members, src_centering, dst_members, dst_centering,
+            src_pcd_ref, src_pvalid_ref, dst_pcd_ref, dst_pvalid_ref,
+            num_sample=0.5, src_token=None, dst_token=None):
+        """Loop registration: BOTH map tiles assembled on device (members
+        as in register_scan_to_map_with_info_async)."""
+        sp, s_poses, s_mvalid = self._pad_members(src_members, src_centering)
+        dp, d_poses, d_mvalid = self._pad_members(dst_members, dst_centering)
+        s_descs, s_kvs, s_real = self._members_dev(
+            [(m[0], m[1], m[2]) for m in sp[:len(src_members)]])
+        d_descs, d_kvs, d_real = self._members_dev(
+            [(m[0], m[1], m[2]) for m in dp[:len(dst_members)]])
+        s_descs += [s_descs[0]] * (len(sp) - len(src_members))
+        s_kvs += [s_kvs[0]] * (len(sp) - len(src_members))
+        d_descs += [d_descs[0]] * (len(dp) - len(dst_members))
+        d_kvs += [d_kvs[0]] * (len(dp) - len(dst_members))
+
+        mb = len(sp) * self.n_tokens
+        nb = len(dp) * self.n_tokens
+        k_static = num_pairs_for(mb, nb, num_sample)
+        k_actual = num_pairs_for(min(s_real, mb), min(d_real, nb),
+                                 num_sample)
+        skey = lambda n: (src_token, n) if src_token is not None else None
+        dkey = lambda n: (dst_token, n) if dst_token is not None else None
+        out = self._tile_tile_reg_fn(
+            tuple(s_descs), tuple(s_kvs), jnp.asarray(s_poses),
+            jnp.asarray(s_mvalid),
+            tuple(d_descs), tuple(d_kvs), jnp.asarray(d_poses),
+            jnp.asarray(d_mvalid),
+            self._dev(self._materialize(src_pcd_ref), skey("pcd")),
+            self._dev(self._materialize(src_pvalid_ref), skey("pv")),
+            self._dev(self._materialize(dst_pcd_ref), dkey("pcd")),
+            self._dev(self._materialize(dst_pvalid_ref), dkey("pv")),
+            num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
+        return self._se3_resolver(out)
+
+    @staticmethod
+    def _se3_resolver(out):
+        def resolve():
+            R, t, conf, rmse, info = jax.device_get(out)
+            SE3 = np.eye(4)
+            SE3[:3, :3] = np.asarray(R, np.float64)
+            SE3[:3, 3] = np.asarray(t, np.float64)
+            return SE3, float(conf), float(rmse), np.asarray(info,
+                                                             np.float64)
+        return resolve
 
     # ------------------------------------------------- fused odometry step
     def _odometry_impl(self, points, valid, cand_desc, cand_kvalid,

@@ -25,6 +25,27 @@ from deeppointmap_tpu.utils import se3 as se3m
 logger = logging.getLogger(__name__)
 
 
+def map_members(pg: PoseGraph, center: ScanPack, coor_sys: int,
+                exclude=(), neighbor_level: int = 5,
+                max_dist: float = 20.0) -> List[ScanPack]:
+    """Keyframes of the local map around `center` -- the member set behind
+    global_map_query_graph (reference: pose_graph.py:471-511), returned as
+    ScanPacks so the engine can assemble the tile ON DEVICE from cached
+    per-scan descriptors instead of the host building + uploading a ~2 MB
+    tile."""
+    c_t = center.SE3_pred[:3, 3]
+    return [s for s in pg.graph_search(center.token, neighbor_level,
+                                       coor_sys,
+                                       edge_type=["odom", "loop"])
+            if s.type != "non-keyframe" and s.token not in exclude
+            and np.linalg.norm(s.SE3_pred[:3, 3] - c_t) < max_dist]
+
+
+def _member_tuples(scans: List[ScanPack]):
+    return [(s.token, s.key_points_ref(), s.key_valid, s.SE3_pred)
+            for s in scans]
+
+
 class ExtractionModule:
     """Scan -> descriptors (reference: odometry.py:17-54). The encoder call
     and the coor_scale re-scaling live in InferenceEngine.extract."""
@@ -224,6 +245,25 @@ class MappingModule:
         pg = self.posegraph_map
         src_old = pg.get_scanpack(edge.src_scan_token)
         dst_new = pg.get_scanpack(edge.dst_scan_token)
+        if hasattr(self.engine, "register_scan_to_map_with_info_async"):
+            # tile assembled on device from cached per-scan descriptors
+            # (the scan's own descriptors excluded, as in the reference)
+            scans = map_members(pg, src_old, src_old.coor_sys,
+                                exclude=(dst_new.token,))
+            if scans:
+                SE3, conf, rmse, info = \
+                    self.engine.register_scan_to_map_with_info_async(
+                        _member_tuples(scans), src_old.SE3_pred,
+                        dst_new.key_points_ref(), dst_new.key_valid,
+                        src_old.full_pcd, src_old.full_valid_ref(),
+                        dst_new.full_pcd, dst_new.full_valid_ref(),
+                        num_sample=self.ss.registration_sample_mapping,
+                        src_token=src_old.token, dst_token=dst_new.token)()
+                return PoseGraphEdge(edge.src_scan_token,
+                                     edge.dst_scan_token,
+                                     se3m.inv(SE3), info, "odom",
+                                     confidence=conf, rmse=rmse)
+        # host-built tile fallback (stub engines / no device cache)
         tile, toks = pg.global_map_query_graph(
             token=src_old.token, neighbor_level=5, coor_sys=src_old.coor_sys,
             full_pcd=False, centering_SE3=src_old.SE3_pred, max_dist=20)
@@ -402,7 +442,14 @@ class LoopClosureModule:
         pg = self.posegraph_map
         ss = self.ss
         edges = []
+        use_device_tiles = hasattr(self.engine,
+                                   "register_map_to_map_with_info_async")
         for prev in scan_list:
+            if use_device_tiles:
+                e = self._register_pair_device(pg, ss, prev, new_scan)
+                if e is not None:
+                    edges.append(e)
+                continue
             prev_map, prev_tok = pg.global_map_query_graph(
                 prev.token, 5, prev.coor_sys, full_pcd=False,
                 centering_SE3=prev.SE3_pred, max_dist=20)
@@ -443,6 +490,43 @@ class LoopClosureModule:
                                        se3m.inv(SE3), info, "loop",
                                        confidence=conf, rmse=rmse))
         return edges
+
+    def _register_pair_device(self, pg, ss, prev: ScanPack,
+                              new_scan: ScanPack):
+        """Map-vs-map registration with BOTH tiles assembled on device
+        (scan-level overlap de-dup applied to the member lists)."""
+        prev_scans = map_members(pg, prev, prev.coor_sys)
+        new_scans = map_members(pg, new_scan, new_scan.coor_sys)
+        overlap = ({s.token for s in prev_scans}
+                   & {s.token for s in new_scans})
+        if overlap:
+            src_t = prev.SE3_pred[:3, 3]
+            dst_t = new_scan.SE3_pred[:3, 3]
+            drop_prev, drop_new = set(), set()
+            for tok in overlap:
+                t = pg.get_scanpack(tok).SE3_pred[:3, 3]
+                if (np.linalg.norm(t - src_t)
+                        < np.linalg.norm(t - dst_t)):
+                    drop_new.add(tok)
+                else:
+                    drop_prev.add(tok)
+            prev_scans = [s for s in prev_scans
+                          if s.token not in drop_prev]
+            new_scans = [s for s in new_scans if s.token not in drop_new]
+        assert not ({s.token for s in prev_scans}
+                    & {s.token for s in new_scans})
+        if not prev_scans or not new_scans:
+            return None
+        SE3, conf, rmse, info = \
+            self.engine.register_map_to_map_with_info_async(
+                _member_tuples(prev_scans), prev.SE3_pred,
+                _member_tuples(new_scans), new_scan.SE3_pred,
+                prev.full_pcd, prev.full_valid_ref(),
+                new_scan.full_pcd, new_scan.full_valid_ref(),
+                num_sample=ss.registration_sample_loop,
+                src_token=prev.token, dst_token=new_scan.token)()
+        return PoseGraphEdge(prev.token, new_scan.token, se3m.inv(SE3),
+                             info, "loop", confidence=conf, rmse=rmse)
 
     def loop_closure_verification(self, edge_list: List[PoseGraphEdge]
                                   ) -> List[PoseGraphEdge]:

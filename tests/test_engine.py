@@ -244,3 +244,99 @@ def test_upload_quantization_roundtrip(tmp_path_factory):
     # NOTE: individual FPS picks may legitimately differ (argmax near-ties
     # cascade); the trajectory-level accuracy cost of quantization is
     # measured on real scans by scripts/parity_trajectory.py (PARITY.md)
+
+
+def _fake_scanset(engine, rng, n_scans, pad=4096):
+    """Extract descriptors for n_scans clouds; returns member tuples +
+    host arrays for the oracle path."""
+    out = []
+    for i in range(n_scans):
+        pts, val = _cloud(rng, 1000 + 37 * i, pad)
+        d, ov, pv = engine.extract(pts[None], val[None])
+        theta = 0.15 * i
+        R = np.array([[np.cos(theta), -np.sin(theta), 0],
+                      [np.sin(theta), np.cos(theta), 0], [0, 0, 1.0]])
+        SE3 = np.eye(4)
+        SE3[:3, :3] = R
+        SE3[:3, 3] = [3.0 * i, 0.5 * i, 0.0]
+        out.append(dict(token=500 + i, desc=d[0], kv=ov[0],
+                        pts=pts * engine.coor_scale, pv=pv[0], SE3=SE3))
+    return out
+
+
+def _host_tile(scans, centering):
+    """Oracle: the host-built map tile (valid tokens, centered)."""
+    R, t = centering[:3, :3], centering[:3, 3]
+    rows = []
+    for s in scans:
+        kp = s["desc"][s["kv"]].copy()
+        w = kp[:, -3:] @ s["SE3"][:3, :3].T + s["SE3"][:3, 3]
+        kp[:, -3:] = (w - t) @ R
+        rows.append(kp)
+    tile = np.concatenate(rows, 0).astype(np.float32)
+    return tile, np.ones(tile.shape[0], bool)
+
+
+def test_device_tile_matches_host_tile(engine):
+    """register_scan_to_map (tile assembled ON DEVICE from cached member
+    descriptors) must match the host-built-tile register_with_info."""
+    rng = np.random.default_rng(9)
+    scans = _fake_scanset(engine, rng, 4)
+    members = scans[:3]
+    target = scans[3]
+    centering = members[0]["SE3"]
+
+    engine.invalidate_device_cache()
+    mt = [(s["token"], s["desc"], s["kv"], s["SE3"]) for s in members]
+    SE3_d, conf_d, rmse_d, info_d = \
+        engine.register_scan_to_map_with_info_async(
+            mt, centering, target["desc"], target["kv"],
+            members[0]["pts"], members[0]["pv"],
+            target["pts"], target["pv"], num_sample=0.5,
+            src_token=members[0]["token"], dst_token=target["token"])()
+
+    tile, tvalid = _host_tile(members, centering)
+    SE3_h, conf_h, rmse_h, info_h = engine.register_with_info(
+        tile, tvalid, target["desc"], target["kv"],
+        members[0]["pts"], members[0]["pv"], target["pts"], target["pv"],
+        num_sample=0.5)
+
+    np.testing.assert_allclose(SE3_d, SE3_h, atol=1e-4)
+    assert conf_d == pytest.approx(conf_h, abs=1e-4)
+    assert rmse_d == pytest.approx(rmse_h, abs=1e-4)
+    np.testing.assert_allclose(info_d, info_h, rtol=1e-3, atol=1e-2)
+
+    # second call: all members now device-cached (no uploads) -> identical
+    SE3_d2, conf_d2, _, _ = engine.register_scan_to_map_with_info_async(
+        mt, centering, target["desc"], target["kv"],
+        members[0]["pts"], members[0]["pv"],
+        target["pts"], target["pv"], num_sample=0.5,
+        src_token=members[0]["token"], dst_token=target["token"])()
+    np.testing.assert_allclose(SE3_d2, SE3_d, atol=1e-6)
+
+
+def test_device_tile_map_to_map(engine):
+    """Map-vs-map device tiles: matches host tiles registered directly."""
+    rng = np.random.default_rng(10)
+    scans = _fake_scanset(engine, rng, 6)
+    src_m, dst_m = scans[:3], scans[3:]
+    c_s, c_d = src_m[0]["SE3"], dst_m[0]["SE3"]
+
+    engine.invalidate_device_cache()
+    SE3_d, conf_d, rmse_d, info_d = \
+        engine.register_map_to_map_with_info_async(
+            [(s["token"], s["desc"], s["kv"], s["SE3"]) for s in src_m],
+            c_s,
+            [(s["token"], s["desc"], s["kv"], s["SE3"]) for s in dst_m],
+            c_d,
+            src_m[0]["pts"], src_m[0]["pv"],
+            dst_m[0]["pts"], dst_m[0]["pv"], num_sample=0.5)()
+
+    s_tile, s_valid = _host_tile(src_m, c_s)
+    d_tile, d_valid = _host_tile(dst_m, c_d)
+    SE3_h, conf_h, rmse_h, info_h = engine.register_with_info(
+        s_tile, s_valid, d_tile, d_valid,
+        src_m[0]["pts"], src_m[0]["pv"], dst_m[0]["pts"], dst_m[0]["pv"],
+        num_sample=0.5)
+    np.testing.assert_allclose(SE3_d, SE3_h, atol=1e-4)
+    assert conf_d == pytest.approx(conf_h, abs=1e-4)

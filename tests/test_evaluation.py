@@ -54,3 +54,39 @@ def test_load_kitti_roundtrip(tmp_path):
             f.write(" ".join(f"{v:.10f}" for v in T[:3, :].flatten()) + "\n")
     loaded = load_kitti_trajectory(str(path))
     np.testing.assert_allclose(loaded, gt, atol=1e-9)
+
+
+def test_evaluate_cli(tmp_path, capsys):
+    """scripts/evaluate.py end-to-end on a synthetic trajectory pair."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.evaluate import main as eval_main
+
+    rng = np.random.default_rng(0)
+    n = 50
+    poses = []
+    T = np.eye(4)
+    for i in range(n):
+        T = T.copy()
+        T[:3, 3] += [1.0, 0.1 * np.sin(i / 5), 0]
+        poses.append(T)
+    gt = np.stack(poses)
+    pred = gt.copy()
+    pred[:, :3, 3] += rng.normal(0, 0.05, size=(n, 3))
+
+    def write(path, traj):
+        with open(path, "w") as f:
+            for P in traj:
+                f.write(" ".join(f"{v:.9f}" for v in P[:3].reshape(-1))
+                        + "\n")
+
+    pp, gp = str(tmp_path / "pred.txt"), str(tmp_path / "gt.txt")
+    write(pp, pred)
+    write(gp, gt)
+    res = eval_main([pp, gp, "--json"])
+    assert res["frames"] == n
+    assert 0.03 < res["ate_rmse_m"] < 0.15
+    assert res["rpe_trans_m_delta1"] < 0.3
+    assert res["kitti_trans_err_pct"] is None or \
+        res["kitti_trans_err_pct"] >= 0  # 49 m path: no 100 m sub-sequence
