@@ -293,13 +293,49 @@ class Trainer:
                     {k: round(v, 4) for k, v in rec.summary().items()})
 
     # -------------------------------------------------------- checkpoint
+    def _ckpt_manager(self):
+        """Orbax CheckpointManager (async, retention, shard-native) --
+        the TPU-idiomatic checkpointer. `tpu.checkpointer: pickle` falls
+        back to the single-file format."""
+        if getattr(self, "_ckpt_mgr", None) is not None:
+            return self._ckpt_mgr
+        if str(self.args.tpu.get("checkpointer", "orbax")) != "orbax":
+            return None
+        try:
+            import orbax.checkpoint as ocp
+        except ImportError:
+            return None
+        opts = ocp.CheckpointManagerOptions(
+            max_to_keep=int(self.cfg.get("keep_checkpoints", 3)),
+            enable_async_checkpointing=True)
+        self._ckpt_mgr = ocp.CheckpointManager(
+            os.path.abspath(os.path.join(self.log_dir, "checkpoints")),
+            options=opts)
+        return self._ckpt_mgr
+
     def save(self, final: bool = False) -> None:
         """Checkpoint params/opt-state/epoch/step (reference:
         trainer.py:210-233); final save is weights-only."""
         params = (self.state.enc_params, self.state.dec_params)
         if final:
+            mgr = self._ckpt_manager()
+            if mgr is not None:
+                mgr.wait_until_finished()
             save_weights(os.path.join(self.log_dir, "weights_final.msgpack"),
                          *params)
+            return
+        mgr = self._ckpt_manager()
+        if mgr is not None:
+            import orbax.checkpoint as ocp
+
+            state = {"enc_params": params[0], "dec_params": params[1],
+                     "opt_state": self.state.opt_state}
+            mgr.save(self.epoch, args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave({"epoch": self.epoch,
+                                        "step": self.step,
+                                        "stage": self.stage})))
+            logger.info("orbax checkpoint queued (epoch %d)", self.epoch)
             return
         blob = {
             "enc_params": jax.tree.map(np.asarray, params[0]),
@@ -316,8 +352,45 @@ class Trainer:
             pickle.dump(blob, f)
         logger.info("saved checkpoint %s", path)
 
+    def _load_orbax(self, path: str) -> None:
+        """Resume from an orbax checkpoint directory (the `checkpoints`
+        dir a previous run's manager wrote)."""
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(path))
+        step = mgr.latest_step()
+        assert step is not None, f"no checkpoints under {path}"
+        meta = mgr.restore(step, args=ocp.args.Composite(
+            meta=ocp.args.JsonRestore()))["meta"]
+        self.epoch = int(meta["epoch"])
+        self.step = int(meta["step"])
+        self.stage = int(meta["stage"])
+        # params restore structure-free (plain flax dicts), then the
+        # stage rebuild gives the optimizer-state TARGET structure for a
+        # second, typed restore
+        loose = mgr.restore(step, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore()))["state"]
+        self._params = (loose["enc_params"], loose["dec_params"])
+        self._setup_stage()
+        at_boundary = (self.stage == 1
+                       and self.epoch == self.stage_epochs[0])
+        if not at_boundary:
+            target = {"enc_params": self.state.enc_params,
+                      "dec_params": self.state.dec_params,
+                      "opt_state": self.state.opt_state}
+            typed = mgr.restore(step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(target)))["state"]
+            self.state = TrainState(typed["enc_params"],
+                                    typed["dec_params"],
+                                    typed["opt_state"],
+                                    np.int32(self.step))
+
     def load_checkpoint(self, path: str) -> None:
-        """Resume training (reference: trainer.py:250-293)."""
+        """Resume training (reference: trainer.py:250-293). `path` is a
+        pickle file or an orbax checkpoint directory."""
+        if os.path.isdir(path):
+            self._load_orbax(path)
+            return
         with open(path, "rb") as f:
             blob = pickle.load(f)
         self.epoch = blob["epoch"]

@@ -200,3 +200,59 @@ def test_stage2_freezes_backbone(setup):
             assert not same, "loop head must train in stage 2"
         else:
             assert same, f"{key} moved during stage-2 training"
+
+
+def test_orbax_checkpoint_roundtrip(setup, tmp_path_factory):
+    """Orbax async checkpointing: save -> fresh Trainer -> load -> params
+    and optimizer state restored exactly; resumed training runs."""
+    import jax
+
+    args, ds, rng = setup
+    from deeppointmap_tpu.pipeline.common import init_params
+    from deeppointmap_tpu.pipeline.trainer import Trainer
+
+    enc, dec, ep, dp = init_params(args, seed=5)
+    import copy as _copy
+    args_a = _copy.deepcopy(dict(args))
+    from deeppointmap_tpu.config import Config
+    args_a = Config(args_a)
+    args_a.infer_tgt = str(tmp_path_factory.mktemp("orbax_a"))
+    t1 = Trainer(args_a, ds, enc, dec, ep, dp,
+                 rng=np.random.default_rng(4))
+    t1._steps_per_epoch = lambda: 2
+    t1._setup_stage()
+    t1.train_one_epoch()
+    # stay at epoch 0: epoch 1 is exactly the stage boundary, where the
+    # optimizer state is deliberately NOT restored (reference quirk)
+    t1.save()
+    mgr = t1._ckpt_manager()
+    mgr.wait_until_finished()
+    ckpt_dir = os.path.join(t1.log_dir, "checkpoints")
+    assert os.path.isdir(ckpt_dir)
+
+    snap_enc = jax.tree.map(np.asarray, t1.state.enc_params)
+    snap_opt = [np.asarray(x) for x in jax.tree.leaves(t1.state.opt_state)
+                if hasattr(x, "shape")]
+
+    enc2, dec2, ep2, dp2 = init_params(args, seed=99)  # different init
+    args_b = Config(_copy.deepcopy(dict(args)))
+    args_b.infer_tgt = str(tmp_path_factory.mktemp("orbax_b"))
+    t2 = Trainer(args_b, ds, enc2, dec2, ep2, dp2,
+                 rng=np.random.default_rng(4))
+    t2._steps_per_epoch = lambda: 2
+    t2.load_checkpoint(ckpt_dir)
+    assert t2.epoch == 0 and t2.stage == 1
+
+    for a, b in zip(jax.tree.leaves(snap_enc),
+                    jax.tree.leaves(t2.state.enc_params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    got_opt = [np.asarray(x) for x in jax.tree.leaves(t2.state.opt_state)
+               if hasattr(x, "shape")]
+    assert len(got_opt) == len(snap_opt)
+    for a, b in zip(snap_opt, got_opt):
+        np.testing.assert_array_equal(a, b)
+
+    # resumed training still steps
+    t2._steps_per_epoch = lambda: 1
+    t2.train_one_epoch()
+    assert t2.step == t2.step  # no crash; state advanced
