@@ -104,6 +104,7 @@ class InferenceEngine:
                                     static_argnames=("num_pairs",))
         self._tile_tile_reg_fn = jax.jit(self._tile_tile_reg_info_impl,
                                          static_argnames=("num_pairs",))
+        self._loop_members_fn = jax.jit(self._loop_members_impl)
         # encoder output token count: coords of the FP target level
         e = args.encoder
         self.n_tokens = int(e.npoint[len(e.npoint) - 1 - e.upsample_layers])
@@ -662,6 +663,39 @@ class InferenceEngine:
     def _loop_impl(self, src, dst, sv, dv):
         return self.decoder.apply(self.dec_params, src, dst, sv, dv,
                                   method=Decoder.loop_detection)
+
+    def _loop_members_impl(self, src_descs, src_kvs, dst_desc, dst_kv):
+        """Candidate batch stacked INSIDE the jit from device-cached
+        per-scan descriptors; the new scan broadcast against all."""
+        src = jnp.stack(src_descs)                       # (B, K, C)
+        sv = jnp.stack(src_kvs)                          # (B, K)
+        dst = jnp.broadcast_to(dst_desc[None], src.shape)
+        dv = jnp.broadcast_to(dst_kv[None], sv.shape)
+        return self.decoder.apply(self.dec_params, src, dst, sv, dv,
+                                  method=Decoder.loop_detection)
+
+    def loop_scores_by_token(self, members, new_desc_ref, new_kvalid,
+                             new_token=None) -> np.ndarray:
+        """Loop probabilities for candidate scans referenced by TOKEN:
+        cached candidates never re-upload (the host path stacks + ships
+        ~134 KB per candidate per loop-check event). members =
+        [(token, key_points_ref, key_valid)]."""
+        b = len(members)
+        bb = _bucket(b, self.batch_buckets)
+        descs, kvs, _ = self._members_dev(members)
+        descs += [descs[0]] * (bb - b)
+        kvs += [kvs[0]] * (bb - b)
+        dhit = self._dcache_probe(new_token, ("kp_pad", "kv_pad"))
+        if dhit is None:
+            dd = self._dev(self._materialize(new_desc_ref),
+                           (new_token, "kp_pad") if new_token else None)
+            dv = self._dev(np.asarray(new_kvalid, bool),
+                           (new_token, "kv_pad") if new_token else None)
+        else:
+            dd, dv = dhit
+        probs = jax.device_get(self._loop_members_fn(
+            tuple(descs), tuple(kvs), dd, dv))
+        return np.asarray(probs)[:b]
 
     def loop_scores(self, src_batch, dst_batch, src_valid, dst_valid
                     ) -> np.ndarray:

@@ -423,11 +423,19 @@ class LoopClosureModule:
         if not valid:
             return []
 
-        src = np.stack([s.key_points for s in valid], 0)
-        sv = np.stack([s.key_valid for s in valid], 0)
-        dst = np.repeat(new_scan.key_points[None], len(valid), 0)
-        dv = np.repeat(new_scan.key_valid[None], len(valid), 0)
-        probs = self.engine.loop_scores(src, dst, sv, dv)
+        if hasattr(self.engine, "loop_scores_by_token"):
+            # candidate descriptors stay device-resident (token cache)
+            probs = self.engine.loop_scores_by_token(
+                [(s.token, s.key_points_ref(), s.key_valid)
+                 for s in valid],
+                new_scan.key_points_ref(), new_scan.key_valid,
+                new_token=new_scan.token)
+        else:
+            src = np.stack([s.key_points for s in valid], 0)
+            sv = np.stack([s.key_valid for s in valid], 0)
+            dst = np.repeat(new_scan.key_points[None], len(valid), 0)
+            dv = np.repeat(new_scan.key_valid[None], len(valid), 0)
+            probs = self.engine.loop_scores(src, dst, sv, dv)
 
         k = min(ss.loop_detection_candidates_num, len(valid))
         top = np.argsort(probs)[::-1][:k]

@@ -340,3 +340,28 @@ def test_device_tile_map_to_map(engine):
         num_sample=0.5)
     np.testing.assert_allclose(SE3_d, SE3_h, atol=1e-4)
     assert conf_d == pytest.approx(conf_h, abs=1e-4)
+
+
+def test_loop_scores_by_token_matches_host(engine):
+    """Token-cached loop scoring == host-stacked loop_scores."""
+    rng = np.random.default_rng(12)
+    scans = _fake_scanset(engine, rng, 5)
+    cands, new = scans[:4], scans[4]
+
+    engine.invalidate_device_cache()
+    probs_dev = engine.loop_scores_by_token(
+        [(s["token"], s["desc"], s["kv"]) for s in cands],
+        new["desc"], new["kv"], new_token=new["token"])
+
+    src = np.stack([s["desc"] for s in cands])
+    sv = np.stack([s["kv"] for s in cands])
+    dst = np.repeat(new["desc"][None], 4, 0)
+    dv = np.repeat(new["kv"][None], 4, 0)
+    probs_host = engine.loop_scores(src, dst, sv, dv)
+    np.testing.assert_allclose(probs_dev, probs_host, atol=1e-5)
+
+    # cached second call identical
+    probs2 = engine.loop_scores_by_token(
+        [(s["token"], s["desc"], s["kv"]) for s in cands],
+        new["desc"], new["kv"], new_token=new["token"])
+    np.testing.assert_allclose(probs2, probs_dev, atol=1e-7)
