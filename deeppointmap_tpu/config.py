@@ -131,6 +131,10 @@ TPU_DEFAULTS = Config(
     # data-parallel training width: "auto" = all chips on TPU hardware,
     # or an explicit device count (CPU tests/dryruns pass an int)
     data_parallel="auto",
+    # rematerialize encoder activations in the training backward pass
+    # (jax.checkpoint): trade ~1/3 more encoder FLOPs for O(stages x P)
+    # less HBM -- enable at production shapes / large K
+    remat=False,
     # MT odometer: frames in flight on the device before the oldest
     # result is fetched. With the lazy descriptor fetch (round 2) depth 2
     # measures ~10% faster than classic double buffering (26.3 vs 24.0

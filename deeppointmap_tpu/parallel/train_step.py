@@ -55,12 +55,23 @@ class RegistrationBatch(NamedTuple):
     gt_t: jnp.ndarray
 
 
-def _encode_frames(encoder: Encoder, enc_params, points, valid, coor_scale):
-    """(B, S, P, 3) -> descriptors (B, S, K, C+3) with xyz in meters."""
+def _encode_frames(encoder: Encoder, enc_params, points, valid, coor_scale,
+                   remat: bool = False):
+    """(B, S, P, 3) -> descriptors (B, S, K, C+3) with xyz in meters.
+
+    remat=True wraps the encoder in jax.checkpoint: its activations
+    (B*S x P x width at every stage) are recomputed in the backward pass
+    instead of living in HBM across the decoder+loss -- the standard
+    memory/FLOPs trade for production shapes (16384-pt frames, K_max
+    frames per element)."""
     b, s, p, _ = points.shape
     flat_pts = points.reshape(b * s, p, 3)
     flat_valid = valid.reshape(b * s, p)
-    coor, fea, out_valid = encoder.apply(enc_params, flat_pts, flat_valid)
+    apply_fn = encoder.apply
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn,
+                                  static_argnums=())   # full remat
+    coor, fea, out_valid = apply_fn(enc_params, flat_pts, flat_valid)
     k = coor.shape[1]
     desc = jnp.concatenate([fea, coor * coor_scale], axis=-1)
     return (desc.reshape(b, s, k, -1), out_valid.reshape(b, s, k))
@@ -91,14 +102,14 @@ def _build_maps(desc, dvalid, group_SE3, group_id):
 def make_registration_train_step(
     encoder: Encoder, decoder: Decoder, loss_cfg: LossConfig,
     optimizer: optax.GradientTransformation, coor_scale: float = 60.0,
-    max_pairs: int = 1024,
+    max_pairs: int = 1024, remat: bool = False,
 ) -> Callable[[TrainState, RegistrationBatch], Tuple[TrainState, Dict]]:
     """Build the jittable stage-1 step (loss parity: network/loss.py:28-90)."""
 
     def loss_fn(params, batch: RegistrationBatch):
         enc_params, dec_params = params
         desc, dvalid = _encode_frames(encoder, enc_params, batch.points,
-                                      batch.valid, coor_scale)
+                                      batch.valid, coor_scale, remat=remat)
         tokens, src_valid, dst_valid = _build_maps(
             desc, dvalid, batch.group_SE3, batch.group_id)
 

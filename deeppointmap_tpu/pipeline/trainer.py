@@ -185,7 +185,8 @@ class Trainer:
             raw_step = make_registration_train_step(
                 self.encoder, self.decoder, self.loss_cfg, self.optimizer,
                 self.coor_scale,
-                max_pairs=int(self.cfg.registration.get("max_pairs", 1024)))
+                max_pairs=int(self.cfg.registration.get("max_pairs", 1024)),
+                remat=bool(self.args.tpu.get("remat", False)))
         else:
             raw_step = make_loop_train_step(self.encoder, self.decoder,
                                             self.optimizer, self.coor_scale)

@@ -139,3 +139,32 @@ def test_dp_trainer_runs_epoch(trainers):
     t_dp.train_one_epoch()
     assert os.path.getsize(os.path.join(t_dp.log_dir, "metrics.jsonl")) >= 0
     t_dp._steps_per_epoch = t_dp._steps_per_epoch_orig
+
+
+def test_remat_matches_no_remat(tmp_path_factory):
+    """jax.checkpoint on the encoder must not change the computed
+    gradients -- identical params after one SGD step."""
+    import jax
+
+    from deeppointmap_tpu.pipeline.common import init_params
+
+    t_a = _make(tmp_path_factory, data_parallel=1, tag="remat_off", seed=2)
+    t_b = _make(tmp_path_factory, data_parallel=1, tag="remat_on", seed=2)
+    t_b.args.tpu["remat"] = True
+    for t in (t_a, t_b):
+        _, _, ep, dp = init_params(t.args, seed=7)
+        t._params = (ep, dp)
+        t.stage = 1
+        t._setup_stage()
+    batch = _one_batch(t_a, 1, seed=21)
+    batch_b = _one_batch(t_b, 1, seed=21)
+    for a, b in zip(batch, batch_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    s_a, m_a = t_a.train_step(t_a.state, batch)
+    s_b, m_b = t_b.train_step(t_b.state, batch)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-6)
+    for x, y in zip(jax.tree.leaves(s_a.enc_params),
+                    jax.tree.leaves(s_b.enc_params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-8)
