@@ -135,6 +135,10 @@ TPU_DEFAULTS = Config(
     # (jax.checkpoint): trade ~1/3 more encoder FLOPs for O(stages x P)
     # less HBM -- enable at production shapes / large K
     remat=False,
+    # multi-sequence data-parallel inference: number of concurrent SLAM
+    # streams, each with an engine pinned to its own chip (capped at the
+    # device count). 1 = sequential sequences on the default device.
+    sequence_parallel=1,
     # MT odometer: frames in flight on the device before the oldest
     # result is fetched. With the lazy descriptor fetch (round 2) depth 2
     # measures ~10% faster than classic double buffering (26.3 vs 24.0

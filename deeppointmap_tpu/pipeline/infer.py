@@ -124,6 +124,10 @@ def prefetch(dataset, n_buffer: int = 8, n_workers: int = 4):
 def run_sequence(args, engine, seq_root: str, out_dir: str,
                  system_id: int = 1) -> SlamSystem:
     os.makedirs(out_dir, exist_ok=True)
+    # scan tokens restart at (system_id << 16) every sequence: stale
+    # token-keyed device-cache entries from a previous sequence on this
+    # engine would otherwise collide (same token, same shapes, wrong data)
+    engine.invalidate_device_cache()
     agent = BasicAgent(root=seq_root, reader="auto")
     agent.set_independent(make_infer_transform(args))
     system = SlamSystem(args, engine, system_id=system_id,
@@ -177,16 +181,58 @@ def main(argv=None):
 
     from deeppointmap_tpu.utils.timer import device_trace
 
+    seqs = []
+    for i, s in enumerate(args.infer_src):
+        if os.path.isdir(s):
+            seqs.append((i, s))
+        else:
+            logger.warning("skip missing sequence dir: %s", s)
+
+    sp = int((args.get("tpu") or {}).get("sequence_parallel", 1) or 1)
     profile_dir = (os.path.join(args.infer_tgt, "profile")
                    if args.get("profile") else None)
     with device_trace(profile_dir):
-        for i, seq in enumerate(args.infer_src):
-            if not os.path.isdir(seq):
-                logger.warning("skip missing sequence dir: %s", seq)
-                continue
+        if sp > 1 and len(seqs) > 1:
+            run_sequences_parallel(args, engine_models, seqs, sp)
+        else:
+            for i, seq in seqs:
+                out_dir = os.path.join(args.infer_tgt, f"Seq{i:02d}")
+                logger.info("=== sequence %d: %s -> %s", i, seq, out_dir)
+                run_sequence(args, engine, seq, out_dir, system_id=1)
+
+
+def run_sequences_parallel(args, engine_models, seqs, n_streams: int):
+    """Multi-sequence data-parallel inference: one engine pinned to each
+    chip, independent SLAM streams running concurrently (the inference
+    analog of data-parallel training -- fills a v5e-8 with 8 sequences).
+    tpu.sequence_parallel caps the stream count at the device count."""
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+
+    enc, dec, enc_params, dec_params = engine_models
+    devices = jax.devices()
+    n = min(n_streams, len(devices))
+    engines = [InferenceEngine(args, enc_params, dec_params, encoder=enc,
+                               decoder=dec,
+                               preprocess_cfg=device_preprocess_config(args),
+                               device=devices[k])
+               for k in range(n)]
+    logger.info("sequence-parallel: %d streams over %d devices",
+                n, len(devices))
+
+    # partition sequences per engine: an engine's token-keyed device
+    # cache must never serve two concurrent streams (token collision)
+    parts = [seqs[k::n] for k in range(n)]
+
+    def worker(k):
+        for i, seq in parts[k]:
             out_dir = os.path.join(args.infer_tgt, f"Seq{i:02d}")
-            logger.info("=== sequence %d: %s -> %s", i, seq, out_dir)
-            run_sequence(args, engine, seq, out_dir, system_id=1)
+            logger.info("=== sequence %d: %s -> %s (device %d)", i, seq,
+                        out_dir, k)
+            run_sequence(args, engines[k], seq, out_dir, system_id=1)
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        list(pool.map(worker, range(n)))
 
 
 if __name__ == "__main__":

@@ -50,7 +50,7 @@ class InferenceEngine:
     def __init__(self, args, enc_params, dec_params,
                  encoder: Optional[Encoder] = None,
                  decoder: Optional[Decoder] = None,
-                 preprocess_cfg=None):
+                 preprocess_cfg=None, device=None):
         from deeppointmap_tpu.utils.compilation_cache import \
             enable_compilation_cache
 
@@ -59,6 +59,10 @@ class InferenceEngine:
         enable_compilation_cache()
         apply_matmul_precision(args.get("tpu"))
         self.args = args
+        #: pin this engine to one chip (multi-sequence data-parallel
+        #: inference: one independent SLAM stream per device). None =
+        #: the default device.
+        self.device = device
         #: when set, extract/odometry take RAW-METER padded points and the
         #: filter chain (distance/outlier/lowpass/normalize) runs fused
         #: on-device (data/preprocess.py); when None, inputs are already
@@ -88,6 +92,9 @@ class InferenceEngine:
             tpu.get("tile_member_buckets", DEFAULT_TILE_MEMBER_BUCKETS))
         self.encoder = encoder or Encoder.from_config(args)
         self.decoder = decoder or Decoder.from_config(args)
+        if device is not None:
+            enc_params = jax.device_put(enc_params, device)
+            dec_params = jax.device_put(dec_params, device)
         self.enc_params = enc_params
         self.dec_params = dec_params
 
@@ -121,16 +128,16 @@ class InferenceEngine:
         self._dcache_lock = threading.Lock()
 
     def _dev(self, arr, key=None):
-        """jnp.asarray with a thread-safe LRU device cache for token-keyed
+        """Device placement with a thread-safe LRU cache for token-keyed
         arrays."""
         if key is None:
-            return jnp.asarray(arr)
+            return self._put(arr)
         with self._dcache_lock:
             hit = self._dcache.get(key)
             if hit is not None and hit.shape == arr.shape:
                 self._dcache.move_to_end(key)
                 return hit
-        dev = jnp.asarray(arr)  # upload outside the lock (slow tunnel IO)
+        dev = self._put(arr)  # upload outside the lock (slow tunnel IO)
         with self._dcache_lock:
             self._dcache[key] = dev
             if len(self._dcache) > self._dcache_cap:
@@ -144,6 +151,15 @@ class InferenceEngine:
             else:
                 for k in [k for k in self._dcache if k[0] == token]:
                     del self._dcache[k]
+
+    def _put(self, x, dtype=None):
+        """Input placement: jnp.asarray on the default device, or a
+        committed transfer to this engine's pinned device."""
+        if dtype is not None:
+            x = jnp.asarray(x, dtype)
+        if self.device is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, self.device)
 
     # ----------------------------------------------------- quantized upload
     _QUANT_SENTINEL = -32768
@@ -213,8 +229,8 @@ class InferenceEngine:
         if b == 1:
             pts_up, valid_up = self._encode_host(points, valid)
             out = self._extract_fn(
-                jnp.asarray(pts_up),
-                None if valid_up is None else jnp.asarray(valid_up))
+                self._put(pts_up),
+                None if valid_up is None else self._put(valid_up))
             return jax.device_get(out)
 
         chunk = self.extract_chunk
@@ -233,8 +249,8 @@ class InferenceEngine:
             pc_up, vc_up = self._encode_host(pc, vc)
             pending.append(
                 (nb, self._extract_fn(
-                    jnp.asarray(pc_up),
-                    None if vc_up is None else jnp.asarray(vc_up))))
+                    self._put(pc_up),
+                    None if vc_up is None else self._put(vc_up))))
         fetched = jax.device_get([out for _, out in pending])
         descs, ovs, pvs = [], [], []
         for (nb, _), (d, ov, pv) in zip(pending, fetched):
@@ -281,8 +297,8 @@ class InferenceEngine:
         k_static = num_pairs_for(mb, nb, num_sample)
         k_actual = num_pairs_for(min(m_real, mb), min(n_real, nb), num_sample)
         R, t, conf, rmse, n_in = jax.device_get(self._register_fn(
-            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(sv),
-            jnp.asarray(dv), num_pairs=k_static,
+            self._put(src), self._put(dst), self._put(sv),
+            self._put(dv), num_pairs=k_static,
             num_pairs_actual=jnp.int32(k_actual)))
         SE3 = np.eye(4)
         SE3[:3, :3] = np.asarray(R, np.float64)
@@ -316,8 +332,8 @@ class InferenceEngine:
         skey = lambda name: (src_token, name) if src_token is not None else None
         dkey = lambda name: (dst_token, name) if dst_token is not None else None
         out = self._reg_info_fn(
-            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(sv),
-            jnp.asarray(dv),
+            self._put(src), self._put(dst), self._put(sv),
+            self._put(dv),
             self._dev(src_pcd, skey("pcd")), self._dev(src_pvalid, skey("pv")),
             self._dev(dst_pcd, dkey("pcd")), self._dev(dst_pvalid, dkey("pv")),
             num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
@@ -462,8 +478,8 @@ class InferenceEngine:
         skey = lambda n: (src_token, n) if src_token is not None else None
         dkey = lambda n: (dst_token, n) if dst_token is not None else None
         out = self._tile_reg_fn(
-            tuple(descs), tuple(kvs), jnp.asarray(poses),
-            jnp.asarray(mvalid), dd, dv,
+            tuple(descs), tuple(kvs), self._put(poses),
+            self._put(mvalid), dd, dv,
             self._dev(self._materialize(src_pcd_ref), skey("pcd")),
             self._dev(self._materialize(src_pvalid_ref), skey("pv")),
             self._dev(self._materialize(dst_pcd_ref), dkey("pcd")),
@@ -496,10 +512,10 @@ class InferenceEngine:
         skey = lambda n: (src_token, n) if src_token is not None else None
         dkey = lambda n: (dst_token, n) if dst_token is not None else None
         out = self._tile_tile_reg_fn(
-            tuple(s_descs), tuple(s_kvs), jnp.asarray(s_poses),
-            jnp.asarray(s_mvalid),
-            tuple(d_descs), tuple(d_kvs), jnp.asarray(d_poses),
-            jnp.asarray(d_mvalid),
+            tuple(s_descs), tuple(s_kvs), self._put(s_poses),
+            self._put(s_mvalid),
+            tuple(d_descs), tuple(d_kvs), self._put(d_poses),
+            self._put(d_mvalid),
             self._dev(self._materialize(src_pcd_ref), skey("pcd")),
             self._dev(self._materialize(src_pvalid_ref), skey("pv")),
             self._dev(self._materialize(dst_pcd_ref), dkey("pcd")),
@@ -605,8 +621,8 @@ class InferenceEngine:
         k_actual = num_pairs_for(min(m_real, mb), n_tok, num_sample)
         pts_up, valid_up = self._encode_host(points, valid)
         out = self._odometry_fn(
-            jnp.asarray(pts_up),
-            None if valid_up is None else jnp.asarray(valid_up),
+            self._put(pts_up),
+            None if valid_up is None else self._put(valid_up),
             kp, kv, pc, pv,
             num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
         (desc, dvalid, pts_valid, R, t, conf, rmse, info,
@@ -714,8 +730,8 @@ class InferenceEngine:
             src_valid[b:, 0] = True
             dst_valid[b:, 0] = True
         probs = jax.device_get(self._loop_fn(
-            jnp.asarray(src_batch), jnp.asarray(dst_batch),
-            jnp.asarray(src_valid), jnp.asarray(dst_valid)))
+            self._put(src_batch), self._put(dst_batch),
+            self._put(src_valid), self._put(dst_valid)))
         return probs[:b]
 
     # -------------------------------------------------- information matrix
@@ -727,9 +743,9 @@ class InferenceEngine:
         """6x6 Gauss-Newton information matrix
         (reference: system/modules/utils.py:60-113). src/dst are the
         fixed-size padded full point clouds."""
-        R = jnp.asarray(SE3[:3, :3], jnp.float32)
-        t = jnp.asarray(SE3[:3, 3], jnp.float32)
-        out = self._info_fn(jnp.asarray(src_pcd), jnp.asarray(src_valid),
-                            jnp.asarray(dst_pcd), jnp.asarray(dst_valid),
+        R = self._put(SE3[:3, :3], jnp.float32)
+        t = self._put(SE3[:3, 3], jnp.float32)
+        out = self._info_fn(self._put(src_pcd), self._put(src_valid),
+                            self._put(dst_pcd), self._put(dst_valid),
                             R, t)
         return np.asarray(out, np.float64)

@@ -265,11 +265,9 @@ class SlamSystem:
             # of serializing inside the odometer's dispatch. With int16
             # upload quantization (tpu.upload_quant) the cloud + validity
             # travel as ONE 96 KB array instead of 208 KB.
-            import jax
-
             pc_up, v_up = self.engine._encode_host(point_cloud, valid)
-            pc_dev = jax.device_put(pc_up)
-            v_dev = None if v_up is None else jax.device_put(v_up)
+            pc_dev = self.engine._put(pc_up)
+            v_dev = None if v_up is None else self.engine._put(v_up)
             self.result_logger.record_perf("to_device",
                                            time.perf_counter() - perf_t)
             q_out.put((point_cloud, R, T, valid, pc_dev, v_dev))
