@@ -74,12 +74,17 @@ class OdometryModule:
         self.posegraph_map = posegraph_map
         self.engine = engine
 
-    def search_candidates(self, new_scan=None, agent_id: int = None
-                          ) -> List[ScanPack]:
+    def search_candidates(self, new_scan=None, agent_id: int = None,
+                          predicted_SE3=None) -> List[ScanPack]:
         """Graph-BFS keyframes near the last pose, top-k by distance
         (reference: odometry.py:76-101). Depends only on the pose graph,
         NOT on the new scan's content, so it can run before extraction
-        (enabling the fused extract+register device call)."""
+        (enabling the fused extract+register device call).
+
+        `predicted_SE3`: the pipelined odometer's constant-velocity
+        extrapolation of where the NEW scan is -- under pipelining the
+        graph pose is several frames stale, and ranking candidates by the
+        stale pose picks keyframes the new scan may barely overlap."""
         if agent_id is None:
             agent_id = new_scan.agent_id
         pg = self.posegraph_map
@@ -89,7 +94,8 @@ class OdometryModule:
                 or pg.last_known_anyframe is None):
             return []
         last_scan = pg.get_scanpack(pg.last_known_keyframe)
-        last_SE3 = pg.get_scanpack(pg.last_known_anyframe).SE3_pred
+        last_SE3 = (predicted_SE3 if predicted_SE3 is not None
+                    else pg.get_scanpack(pg.last_known_anyframe).SE3_pred)
 
         key_frames = [s for s in pg.graph_search(
             last_scan.token, neighbor_level=5, coor_sys=last_scan.coor_sys,

@@ -44,6 +44,12 @@ class SlamSystem:
         self.system_info = Config({"agent_id": system_id})
         self.engine = engine
         self.frame_id = -1
+        # last two resolved (timestep, SE3_pred) -- the pipelined
+        # odometer extrapolates a constant-velocity pose from these for
+        # candidate search (the graph pose is in-flight-depth frames
+        # stale); written by the mapping stage, read by the odometer
+        from collections import deque
+        self._recent_poses = deque(maxlen=2)
         self.coor_scale = float(args.slam_system.coor_scale)
 
         self.posegraph_map = PoseGraph(args=args, agent_id=system_id)
@@ -312,7 +318,8 @@ class SlamSystem:
                                                              valid)
             perf_t = time.perf_counter()
             candidates = self.odometry.search_candidates(
-                agent_id=self.system_id)
+                agent_id=self.system_id,
+                predicted_SE3=self._predict_pose(self.frame_id + 1))
             if not candidates:
                 while pending:
                     flush()
@@ -341,6 +348,20 @@ class SlamSystem:
                             candidates[1:], ts, perf_t))
             while len(pending) > depth:
                 flush()
+
+    def _predict_pose(self, ts: int):
+        """Constant-velocity extrapolation of the pose at timestep `ts`
+        from the last two mapping-resolved poses (None when unavailable).
+        Keeps the pipelined odometer's candidate ranking anchored near
+        the NEW scan instead of the several-frames-stale graph pose."""
+        rp = list(self._recent_poses)
+        if len(rp) < 2:
+            return None
+        (t1, P1), (t2, P2) = rp
+        if t2 <= t1 or ts <= t2:
+            return None
+        xi = se3m.se3_log(se3m.inv(P1) @ P2) / float(t2 - t1)
+        return P2 @ se3m.se3_exp(xi * float(ts - t2))
 
     def _resolve_bundle(self, bundle):
         """Materialize an odometer dispatch into (scan, odom edge). Runs on
@@ -375,6 +396,9 @@ class SlamSystem:
             result = self.mapping.process(new_scan, odom_edge)
             self.result_logger.record_perf("mapping",
                                            time.perf_counter() - perf_t)
+            if new_scan.SE3_pred is not None:
+                self._recent_poses.append((new_scan.timestep,
+                                           np.array(new_scan.SE3_pred)))
             if isinstance(result, EXIT_CODE):
                 continue
             self._upload(new_scan, odom_edge)
