@@ -226,21 +226,47 @@ class SlamSystem:
         self._q_odo_map = queue.Queue(maxsize=1)   # backpressure
         self._q_map_bak = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
         self._q_bak_out = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
-        self._threads = [
-            threading.Thread(target=self._mt_todevice,
-                             args=(self._q_in, self._q_pre_odo), daemon=True),
-            threading.Thread(target=self._mt_odometer,
-                             args=(self._q_pre_odo, self._q_odo_map),
-                             daemon=True),
-            threading.Thread(target=self._mt_mapping,
-                             args=(self._q_odo_map, self._q_map_bak), daemon=True),
-            threading.Thread(target=self._mt_backend,
-                             args=(self._q_map_bak, self._q_bak_out), daemon=True),
-            threading.Thread(target=self._mt_output,
-                             args=(self._q_bak_out,), daemon=True),
+        self._mt_errors: List = []
+        stages = [
+            ("todevice", self._mt_todevice, (self._q_in, self._q_pre_odo),
+             self._q_pre_odo),
+            ("odometer", self._mt_odometer, (self._q_pre_odo,
+                                             self._q_odo_map),
+             self._q_odo_map),
+            ("mapping", self._mt_mapping, (self._q_odo_map,
+                                           self._q_map_bak),
+             self._q_map_bak),
+            ("backend", self._mt_backend, (self._q_map_bak,
+                                           self._q_bak_out),
+             self._q_bak_out),
+            ("output", self._mt_output, (self._q_bak_out,), None),
         ]
+        self._threads = [
+            threading.Thread(target=self._mt_stage_guard,
+                             args=(name, fn, fn_args, q_next), daemon=True)
+            for name, fn, fn_args, q_next in stages]
         for t in self._threads:
             t.start()
+
+    def _mt_stage_guard(self, name, fn, fn_args, q_next) -> None:
+        """Fail-fast wrapper around a pipeline stage: an uncaught stage
+        exception would otherwise leave the pipeline blocked forever
+        (downstream starves on its queue; upstream blocks on this stage's
+        full input queue). On failure the error is recorded, EXIT flows
+        downstream, the dead stage's input keeps draining so upstream can
+        finish, and MT_Wait re-raises."""
+        try:
+            fn(*fn_args)
+        except Exception as e:                       # noqa: BLE001
+            logger.exception("MT stage %r crashed", name)
+            self._mt_errors.append((name, e))
+            if q_next is not None:
+                q_next.put(EXIT_CODE.exit)
+            q_in = fn_args[0]
+            while True:                      # swallow until upstream EXIT
+                item = q_in.get()
+                if isinstance(item, EXIT_CODE) and item == EXIT_CODE.exit:
+                    break
 
     def MT_Step(self, sensor_data) -> None:
         self._q_in.put(sensor_data)
@@ -251,6 +277,10 @@ class SlamSystem:
     def MT_Wait(self) -> None:
         for t in self._threads:
             t.join()
+        if self._mt_errors:
+            name, err = self._mt_errors[0]
+            raise RuntimeError(
+                f"MT stage {name!r} failed: {err!r}") from err
 
     def _mt_todevice(self, q_in, q_out):
         while True:

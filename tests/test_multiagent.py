@@ -96,3 +96,27 @@ def test_multiagent_cloud_merge(engine_and_args, tmp_path):
     assert agent_ids >= {1, 2}, agent_ids
     for s in pg.get_all_scans():
         assert np.all(np.isfinite(s.SE3_pred))
+
+
+def test_mt_stage_crash_drains_and_raises(engine_and_args, tmp_path):
+    """A crashing pipeline stage must not hang MT_Wait: EXIT drains
+    downstream and the error is re-raised to the caller."""
+    args, engine = engine_and_args
+    from deeppointmap_tpu.data.dataset import BasicAgent
+    from deeppointmap_tpu.pipeline.infer import make_infer_transform
+    from deeppointmap_tpu.slam.system import SlamSystem
+
+    agent = BasicAgent(root=SAMPLE, reader="auto")
+    agent.set_independent(make_infer_transform(args))
+    system = SlamSystem(args, engine, system_id=9, logger_dir=str(tmp_path))
+
+    def boom(new_scan, odom_edge):
+        raise ValueError("injected mapping failure")
+
+    system.mapping.process = boom
+    system.MT_Init()
+    for i in range(3):
+        system.MT_Step(agent[i])
+    system.MT_Done()
+    with pytest.raises(RuntimeError, match="mapping.*injected"):
+        system.MT_Wait()
