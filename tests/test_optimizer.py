@@ -91,3 +91,27 @@ def test_g2o_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded, np.stack(poses), atol=1e-6)
     assert len(edges) == 3
     np.testing.assert_allclose(edges[0][3], np.eye(6) * 2.0, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_optimize_at_kitti_scale():
+    """KITTI-00-scale graph: ~2000 keyframes, multiple loop closures --
+    the LM backend must converge in bounded time (the reference calls
+    Open3D's C++ global optimization here)."""
+    import time
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    gt, init, edges = _circle_graph(n=n, radius=300.0, noise=2e-3, rng=rng)
+    # extra mid-sequence loop closures (exact measurements)
+    for a, b in [(0, n // 2), (n // 4, 3 * n // 4), (100, n - 100)]:
+        edges.append((a, b, se3m.inv(gt[a]) @ gt[b], 10 * np.eye(6), 1.0))
+    drift0 = np.linalg.norm(init[:, :3, 3] - gt[:, :3, 3], axis=1).mean()
+    t0 = time.perf_counter()
+    out = optimize_pose_graph(init, edges, fixed_idx=0)
+    dt = time.perf_counter() - t0
+    drift1 = np.linalg.norm(out[:, :3, 3] - gt[:, :3, 3], axis=1).mean()
+    print(f"\n2000-node graph: {dt:.1f}s, mean err {drift0:.2f} -> "
+          f"{drift1:.2f} m")
+    assert drift1 < 0.3 * drift0, (drift0, drift1)
+    assert dt < 120, dt
