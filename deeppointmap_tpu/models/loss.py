@@ -80,13 +80,31 @@ def pairing_loss(src_fea, dst_fea, src_valid, corr_ids, corr_mask, neutral,
 
 def offset_loss(offset_res, pair_valid, offset_value: str = "euclidean"):
     """Mean offset residual magnitude over valid pairs
-    (reference: loss.py:144-161; mahalanobis intentionally unsupported --
-    it inverts a data-dependent covariance, a poor fit for jit and unused
-    by the shipped configs)."""
+    (reference: loss.py:144-161). The mahalanobis variant whitens by the
+    covariance of the *detached* residuals (reference: loss.py:150-156);
+    its dynamic try/inv-except-identity becomes a masked 3x3 covariance
+    with a determinant-gated identity fallback, which keeps the whole
+    thing jittable at fixed shape."""
     if offset_value == "manhattan":
         err = jnp.sum(jnp.abs(offset_res), axis=-1)
     elif offset_value == "euclidean":
         err = jnp.linalg.norm(offset_res, axis=-1)
+    elif offset_value == "mahalanobis":
+        res = jax.lax.stop_gradient(offset_res).reshape(-1, 3)
+        w = pair_valid.reshape(-1).astype(res.dtype)
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        mean = jnp.sum(res * w[:, None], axis=0) / n
+        cen = (res - mean) * w[:, None]
+        cov = (cen.T @ cen) / jnp.maximum(n - 1.0, 1.0)
+        # the reference falls back to the identity metric when the
+        # covariance is singular (loss.py:152-154); invert a guaranteed-
+        # invertible matrix and select, instead of branching
+        ok = jnp.abs(jnp.linalg.det(cov)) > 1e-12
+        eye = jnp.eye(3, dtype=cov.dtype)
+        cov_inv = jnp.where(ok, jnp.linalg.inv(jnp.where(ok, cov, eye)), eye)
+        quad = jnp.einsum("...j,jk,...k->...", offset_res, cov_inv,
+                          offset_res)
+        err = jnp.sqrt(jnp.maximum(quad, 1e-12))
     else:
         raise ValueError(f"unsupported offset_value: {offset_value!r}")
     n = jnp.maximum(jnp.sum(pair_valid.astype(jnp.float32)), 1.0)

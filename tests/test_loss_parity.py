@@ -87,3 +87,44 @@ def test_registration_loss_parity(ref_loss):
     np.testing.assert_allclose(float(out["top1_acc"]), float(t_acc),
                                atol=1e-5)
     np.testing.assert_allclose(float(out["loss"]), float(t_loss), atol=2e-4)
+
+
+def test_mahalanobis_offset_parity(ref_loss):
+    """Mahalanobis offset variant vs the reference formula
+    (reference: loss.py:150-156): covariance of detached residuals,
+    einsum quadratic form, identity fallback on singularity."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from deeppointmap_tpu.models.loss import offset_loss
+
+    rng = np.random.default_rng(3)
+    K = 40
+    off = rng.normal(0, 0.5, size=(K, 3)).astype(np.float32)
+
+    t_off = torch.from_numpy(off)
+    cov_inv = torch.linalg.inv(torch.cov(t_off.T))
+    t_err = torch.sqrt(torch.einsum("nj,jk,nk->n", t_off, cov_inv, t_off))
+    t_loss = float(torch.sum(t_err) / K)
+
+    ours = float(offset_loss(jnp.asarray(off)[None],
+                             jnp.ones((1, K), bool), "mahalanobis"))
+    np.testing.assert_allclose(ours, t_loss, rtol=1e-4)
+
+    # singular covariance (all residuals identical) -> identity fallback,
+    # i.e. plain euclidean norms
+    const = np.tile(np.array([[0.3, -0.2, 0.1]], np.float32), (K, 1))
+    ours_sing = float(offset_loss(jnp.asarray(const)[None],
+                                  jnp.ones((1, K), bool), "mahalanobis"))
+    np.testing.assert_allclose(ours_sing, float(np.linalg.norm(const[0])),
+                               rtol=1e-4)
+
+    # masked entries influence neither the covariance nor the mean
+    mask = np.zeros((1, 2 * K), bool)
+    mask[0, :K] = True
+    padded = np.concatenate([off, rng.normal(9, 9, (K, 3))], 0).astype(
+        np.float32)
+    ours_masked = float(offset_loss(jnp.asarray(padded)[None],
+                                    jnp.asarray(mask), "mahalanobis"))
+    np.testing.assert_allclose(ours_masked, t_loss, rtol=1e-4)
