@@ -128,6 +128,18 @@ TPU_DEFAULTS = Config(
     # bfloat16 matmuls inside the network (accumulate fp32); false forces
     # full-precision fp32 MXU emulation (slower, precision escape hatch)
     bf16=True,
+    # neighbor-query grade for the ENCODER's grouping queries: 'exact'
+    # (f32 6-pass HIGHEST distances, f32 top-k input) or 'fast' (f32
+    # 3-pass HIGH distances + bf16 top-k ranking; TPU only). fast is
+    # rank-safe -- ~1e-5 relative distance rounding -- and measured in
+    # PARITY.md. (Single-pass bf16 was tried and rejected: input rounding
+    # at +-60 m scrambles sub-meter rankings and costs real ATE.)
+    neighbor_grade="fast",
+    # grade for DISTANCE-STATISTICS consumers: the device filter chain's
+    # shared kNN (outlier mean / normal PCA / coherence) and the info-
+    # matrix 1-NN correspondence sweep. 'fast' is accuracy-neutral there
+    # and ~2.2x cheaper (PARITY.md).
+    filter_grade="fast",
     # data-parallel training width: "auto" = all chips on TPU hardware,
     # or an explicit device count (CPU tests/dryruns pass an int)
     data_parallel="auto",

@@ -39,9 +39,13 @@ class PreprocessConfig(NamedTuple):
     lowpass_std: float = 2.0
     lowpass_flux: int = 4
     norm_ratio: float = 60.0
+    #: neighbor-query grade for the filter kNN ('fast' = bf16 ranking +
+    #: recall 0.9, TPU only; ~2.2x cheaper, see ops/neighbors.py)
+    neighbor_grade: str = "fast"
 
     @classmethod
-    def from_transforms(cls, transforms: dict) -> "PreprocessConfig":
+    def from_transforms(cls, transforms: dict,
+                        neighbor_grade: str = "fast") -> "PreprocessConfig":
         """Build from the yaml transforms tree (same keys the host chain
         uses)."""
         t = dict(transforms)
@@ -64,6 +68,7 @@ class PreprocessConfig(NamedTuple):
             kw["norm_ratio"] = t["CoordinatesNormalization"]["ratio"]
         else:
             kw["norm_ratio"] = 1.0
+        kw["neighbor_grade"] = neighbor_grade
         return cls(**kw)
 
 
@@ -105,7 +110,11 @@ def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
         k_shared = max(30 if cfg.use_lowpass else 0,
                        (cfg.normals_num + 1) if cfg.use_lowpass else 0,
                        (cfg.outlier_neighbors + 1) if cfg.use_outlier else 0)
-        nb = knn(pts, pts, k_shared, valid)
+        # 'fast' grade (bf16 ranking, recall 0.9, TPU only): these
+        # neighborhoods feed distance STATISTICS (outlier mean, normal
+        # PCA, coherence top-flux), all insensitive to near-tie ranking
+        # flips; measured 6.0 -> 2.6 ms of the per-frame device budget
+        nb = knn(pts, pts, k_shared, valid, grade=cfg.neighbor_grade)
 
     if cfg.use_outlier:
         # statistical outlier: mean distance to k nearest survivors
@@ -122,13 +131,20 @@ def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
         # top-flux) rather than re-ranked -- a (P, 30) argsort costs ~7 ms
         # of VPU time at P=16384, while masking is fused for free, and
         # both only approximate the reference's full neighbor recompute.
+        # ONE packed gather [xyz | validity] feeds both the outlier
+        # re-mask and the normals' PCA neighborhoods (separate gathers
+        # measured ~1.5 ms each at P=16384)
+        idx0, d20 = nb
+        packed = jnp.concatenate(
+            [pts, valid.astype(jnp.float32)[:, None]], axis=1)  # (P, 4)
+        g = jnp.take(packed, idx0, axis=0)                   # (P, 30, 4)
+        nbr_xyz = g[..., :3]
         nbr_valid = None
         if cfg.use_outlier:
-            idx0, d20 = nb
-            nbr_valid = jnp.take(valid, idx0, axis=0)        # (P, 30)
+            nbr_valid = g[..., 3] > 0.5                      # (P, 30)
             nb = (idx0, jnp.where(nbr_valid, d20, jnp.float32(1e9)))
         normals = estimate_normals(pts, valid, cfg.normals_radius,
-                                   neighbors=nb)
+                                   neighbors=nb, neighbor_xyz=nbr_xyz)
         idx = nb[0][:, :cfg.normals_num + 1]
         nbr_n = jnp.take(normals, idx[:, 1:], axis=0)        # (P, K, 3)
         sim = jnp.abs(jnp.einsum("pkc,pc->pk", nbr_n, normals,

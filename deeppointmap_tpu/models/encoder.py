@@ -44,9 +44,10 @@ def _sample_batch(coor, valid, k, sample=DEFAULT_SAMPLE):
     return batched_fps(coor, valid, k)
 
 
-def _query_batch(points, centers, k, radius, points_valid):
+def _query_batch(points, centers, k, radius, points_valid,
+                 grade="exact"):
     return jax.vmap(
-        lambda p, c, v: hybrid_query(p, c, k, radius, v)
+        lambda p, c, v: hybrid_query(p, c, k, radius, v, grade=grade)
     )(points, centers, points_valid)
 
 
@@ -59,6 +60,7 @@ class SetAbstraction(nn.Module):
     in_channel: int
     bias: bool = True
     sample: Tuple[str, float, float] = DEFAULT_SAMPLE
+    neighbor_grade: str = "exact"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
@@ -68,7 +70,7 @@ class SetAbstraction(nn.Module):
         new_coor = jnp.take_along_axis(coor, idx[..., None], axis=1)  # (B,S,3)
 
         group_idx = _query_batch(coor, new_coor, self.nsample, self.radius,
-                                 valid)                               # (B,S,K)
+                                 valid, self.neighbor_grade)          # (B,S,K)
         g_coor = jax.vmap(group_points)(coor, group_idx)              # (B,S,K,3)
         g_coor = (g_coor - new_coor[:, :, None, :]) / self.radius
         g_fea = jax.vmap(group_points)(fea, group_idx)                # (B,S,K,C)
@@ -85,10 +87,12 @@ class LocalAggregation(nn.Module):
     nsample: int
     in_channel: int
     bias: bool = True
+    neighbor_grade: str = "exact"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
-        group_idx = _query_batch(coor, coor, self.nsample, self.radius, valid)
+        group_idx = _query_batch(coor, coor, self.nsample, self.radius, valid,
+                                 self.neighbor_grade)
         g_coor = jax.vmap(group_points)(coor, group_idx)
         g_coor = (g_coor - coor[:, :, None, :]) / self.radius
         g_fea = jax.vmap(group_points)(fea, group_idx)
@@ -105,12 +109,14 @@ class InvResMLP(nn.Module):
     in_channel: int
     expansion: int = 4
     bias: bool = True
+    neighbor_grade: str = "exact"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
         identity = fea
         fea = LocalAggregation(self.radius, self.nsample, self.in_channel,
-                               self.bias, name="la")(coor, fea, valid)
+                               self.bias, self.neighbor_grade,
+                               name="la")(coor, fea, valid)
         fea = MLP([self.in_channel * self.expansion, self.in_channel],
                   bias=self.bias, drop_last_act=True, name="pw_conv")(fea)
         return jax.nn.relu(fea + identity)
@@ -127,16 +133,18 @@ class Stage(nn.Module):
     expansion: int = 4
     bias: bool = True
     sample: Tuple[str, float, float] = DEFAULT_SAMPLE
+    neighbor_grade: str = "exact"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
         coor, fea, valid = SetAbstraction(
             self.npoint, self.radius_list[0], self.nsample_list[0],
-            self.in_channel, self.bias, self.sample,
+            self.in_channel, self.bias, self.sample, self.neighbor_grade,
             name="sa")(coor, fea, valid)
         for i in range(1, len(self.radius_list)):
             fea = InvResMLP(self.radius_list[i], self.nsample_list[i],
                             self.in_channel * 2, self.expansion, self.bias,
+                            self.neighbor_grade,
                             name=f"irm{i - 1}")(coor, fea, valid)
         return coor, fea, valid
 
@@ -189,6 +197,10 @@ class Encoder(nn.Module):
     bias: bool = True
     #: per-stage sampler: (type, voxel_size, sample_range)
     sample: Sequence[Tuple[str, float, float]] = (DEFAULT_SAMPLE,) * 5
+    #: neighbor-query grade: 'exact' (f32 HIGHEST distances, f32 top-k)
+    #: or 'fast' (f32 HIGH distances, bf16 top-k ranking -- TPU only;
+    #: rank-safe perturbation, measured in PARITY.md)
+    neighbor_grade: str = "exact"
 
     @classmethod
     def from_config(cls, args) -> "Encoder":
@@ -215,7 +227,9 @@ class Encoder(nn.Module):
                    in_channel=e.in_channel, out_channel=e.out_channel,
                    width=e.width, expansion=e["expansion"],
                    upsample_layers=e.upsample_layers,
-                   bias=e.get("bias", True), sample=tuple(sample))
+                   bias=e.get("bias", True), sample=tuple(sample),
+                   neighbor_grade=str((args.get("tpu") or {}).get(
+                       "neighbor_grade", "fast")))
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, valid: jnp.ndarray
@@ -233,7 +247,8 @@ class Encoder(nn.Module):
         for i in range(len(self.npoint)):
             c, f, v = Stage(self.npoint[i], self.radius_list[i],
                             self.nsample_list[i], width, self.expansion,
-                            self.bias, sample[i], name=f"down{i}")(*levels[-1])
+                            self.bias, sample[i], self.neighbor_grade,
+                            name=f"down{i}")(*levels[-1])
             levels.append((c, f, v))
             width *= 2
 

@@ -55,11 +55,13 @@ def smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
 
 def estimate_normals(xyz: jnp.ndarray, valid: jnp.ndarray,
                      radius: float, max_nn: int = 30,
-                     neighbors=None) -> jnp.ndarray:
+                     neighbors=None, neighbor_xyz=None) -> jnp.ndarray:
     """Unit normals (N, 3) via PCA over radius-capped kNN neighborhoods.
     Invalid points get the +z fallback (they are masked downstream).
     `neighbors` = precomputed (idx, dist2) with >= max_nn columns lets
-    callers share one kNN pass across stages."""
+    callers share one kNN pass across stages; `neighbor_xyz` additionally
+    skips the (N, K, 3) coordinate gather when the caller already has it
+    (gathers are a measurable share of the preprocessing budget)."""
     if neighbors is None:
         idx, dist2 = knn(xyz, xyz, max_nn, valid)
     else:
@@ -67,7 +69,8 @@ def estimate_normals(xyz: jnp.ndarray, valid: jnp.ndarray,
         idx, dist2 = idx[:, :max_nn], dist2[:, :max_nn]
     w = (dist2 <= radius * radius)                      # (N, K)
     w = w.at[:, 0].set(True)
-    nbr = jnp.take(xyz, idx, axis=0)                    # (N, K, 3)
+    nbr = jnp.take(xyz, idx, axis=0) if neighbor_xyz is None \
+        else neighbor_xyz[:, :max_nn]                   # (N, K, 3)
     wf = w.astype(jnp.float32)[..., None]
     cnt = jnp.maximum(jnp.sum(wf, axis=1), 1.0)
     mean = jnp.sum(nbr * wf, axis=1, keepdims=True) / cnt[:, None]

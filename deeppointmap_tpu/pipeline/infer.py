@@ -45,7 +45,9 @@ def device_preprocess_config(args):
         return None
     from deeppointmap_tpu.data.preprocess import PreprocessConfig
 
-    return PreprocessConfig.from_transforms(dict(args.transforms))
+    return PreprocessConfig.from_transforms(
+        dict(args.transforms),
+        neighbor_grade=str(args.tpu.get("filter_grade", "fast")))
 
 
 def make_infer_transform(args):

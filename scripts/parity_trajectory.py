@@ -109,7 +109,8 @@ def torch_trajectory(args, t_enc, t_dec, frames):
 
 
 def engine_trajectory(args, enc_params, dec_params, frames,
-                      approx: bool, bf16: bool, quant: str = "none"):
+                      approx: bool, bf16: bool, quant: str = "none",
+                      grade: str = "exact"):
     import deeppointmap_tpu.ops.neighbors as nbr
     from deeppointmap_tpu.models import Decoder, Encoder
     from deeppointmap_tpu.slam.engine import InferenceEngine
@@ -117,6 +118,7 @@ def engine_trajectory(args, enc_params, dec_params, frames,
     nbr.APPROX_TOPK_ON_TPU = approx
     args.tpu["bf16"] = bf16
     args.tpu["upload_quant"] = quant
+    args.tpu["neighbor_grade"] = grade
     engine = InferenceEngine(args, enc_params, dec_params,
                              encoder=Encoder.from_config(args),
                              decoder=Decoder.from_config(args),
@@ -162,21 +164,24 @@ def main():
     if not opts.skip_cpu_ref:
         trajs["cpu_ref"] = torch_trajectory(args, t_enc, t_dec, frames)
         print("cpu_ref done")
-    for name, approx, bf16, quant in [
-            ("tpu_exact_hp", False, False, "none"),
-            ("tpu_exact", False, True, "none"),
-            ("tpu_approx", True, True, "none"),
-            ("tpu_prod", True, True, "int16")]:
+    for name, approx, bf16, quant, grade in [
+            ("tpu_exact_hp", False, False, "none", "exact"),
+            ("tpu_exact", False, True, "none", "exact"),
+            ("tpu_approx", True, True, "none", "exact"),
+            ("tpu_fastnbr", True, True, "none", "fast"),
+            ("tpu_prod", True, True, "int16", "fast")]:
         trajs[name] = engine_trajectory(args, enc_params, dec_params,
-                                        frames, approx, bf16, quant)
+                                        frames, approx, bf16, quant, grade)
         print(f"{name} done")
 
     path_len = float(np.sum(np.linalg.norm(
         np.diff(trajs["tpu_approx"][:, :3, 3], axis=0), axis=1)))
     report = {"frames": len(frames), "path_length_m": round(path_len, 3)}
     pairs = [("tpu_exact_hp", "cpu_ref"), ("tpu_exact", "tpu_exact_hp"),
-             ("tpu_approx", "tpu_exact"), ("tpu_prod", "tpu_approx"),
-             ("tpu_prod", "cpu_ref"), ("tpu_approx", "cpu_ref")]
+             ("tpu_approx", "tpu_exact"), ("tpu_fastnbr", "tpu_approx"),
+             ("tpu_prod", "tpu_fastnbr"),
+             ("tpu_prod", "cpu_ref"), ("tpu_prod", "tpu_approx"),
+             ("tpu_approx", "cpu_ref")]
     for a, b in pairs:
         if a in trajs and b in trajs:
             report[f"{a}_vs_{b}"] = {
