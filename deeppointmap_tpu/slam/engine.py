@@ -90,6 +90,10 @@ class InferenceEngine:
             else lsb / self.coor_scale
         self.tile_member_buckets = tuple(
             tpu.get("tile_member_buckets", DEFAULT_TILE_MEMBER_BUCKETS))
+        #: grade for the info-matrix 1-NN correspondence sweep (a
+        #: distance statistic -- tpu.filter_grade, not the encoder's
+        #: tpu.neighbor_grade)
+        self.neighbor_grade = str(tpu.get("filter_grade", "fast"))
         self.encoder = encoder or Encoder.from_config(args)
         self.decoder = decoder or Decoder.from_config(args)
         if device is not None:
@@ -311,7 +315,8 @@ class InferenceEngine:
         R, t, conf, rmse, n_in = self.decoder.apply(
             self.dec_params, src, dst, sv, dv, num_pairs, num_pairs_actual,
             method=Decoder.registration)
-        info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t)
+        info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t,
+                                  grade=self.neighbor_grade)
         return R, t, conf, rmse, info
 
     def register_with_info_async(self, src_desc, src_valid, dst_desc,
@@ -337,15 +342,7 @@ class InferenceEngine:
             self._dev(src_pcd, skey("pcd")), self._dev(src_pvalid, skey("pv")),
             self._dev(dst_pcd, dkey("pcd")), self._dev(dst_pvalid, dkey("pv")),
             num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
-
-        def resolve():
-            R, t, conf, rmse, info = jax.device_get(out)
-            SE3 = np.eye(4)
-            SE3[:3, :3] = np.asarray(R, np.float64)
-            SE3[:3, 3] = np.asarray(t, np.float64)
-            return SE3, float(conf), float(rmse), np.asarray(info, np.float64)
-
-        return resolve
+        return self._se3_resolver(out)
 
     def register_with_info(self, src_desc, src_valid, dst_desc, dst_valid,
                            src_pcd, src_pvalid, dst_pcd, dst_pvalid,
@@ -385,7 +382,8 @@ class InferenceEngine:
         R, t, conf, rmse, n_in = self.decoder.apply(
             self.dec_params, tile, dst_desc, tvalid, dst_kv,
             num_pairs, num_pairs_actual, method=Decoder.registration)
-        info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t)
+        info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t,
+                                  grade=self.neighbor_grade)
         return R, t, conf, rmse, info
 
     def _tile_tile_reg_info_impl(self, s_descs, s_kvs, s_poses, s_mvalid,
@@ -399,7 +397,8 @@ class InferenceEngine:
         R, t, conf, rmse, n_in = self.decoder.apply(
             self.dec_params, s_tile, d_tile, s_valid, d_valid,
             num_pairs, num_pairs_actual, method=Decoder.registration)
-        info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t)
+        info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t,
+                                  grade=self.neighbor_grade)
         return R, t, conf, rmse, info
 
     def _members_dev(self, members):
@@ -523,8 +522,10 @@ class InferenceEngine:
             num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
         return self._se3_resolver(out)
 
-    @staticmethod
-    def _se3_resolver(out):
+    @classmethod
+    def _se3_resolver(cls, out):
+        cls._prefetch(*out)
+
         def resolve():
             R, t, conf, rmse, info = jax.device_get(out)
             SE3 = np.eye(4)
@@ -547,7 +548,8 @@ class InferenceEngine:
         else:
             new_pcd = points[0]  # already meters in raw mode
         info = information_matrix(cand_pcd, cand_pvalid, new_pcd,
-                                  pts_valid[0], R, t)
+                                  pts_valid[0], R, t,
+                                  grade=self.neighbor_grade)
         # unbatched copies of the new scan's arrays (free inside the jit):
         # the streaming caller caches them device-side under the scan's
         # token so (a) they never re-upload when this scan becomes the
@@ -580,6 +582,19 @@ class InferenceEngine:
     @staticmethod
     def _materialize(x):
         return np.asarray(x() if callable(x) else x)
+
+    @staticmethod
+    def _prefetch(*arrays) -> None:
+        """Start device->host copies in the background: a later
+        jax.device_get finds the data already local instead of stalling a
+        full tunnel round-trip (~35-45 ms measured; residual wait after an
+        async copy ~0.7 ms). Used on every async-resolver output so the
+        fetch hides behind the NEXT frame's device work."""
+        for a in arrays:
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
 
     def odometry_step_async(self, points: np.ndarray, valid: np.ndarray,
                             cand_desc, cand_kvalid, cand_pcd, cand_pvalid,
@@ -633,6 +648,7 @@ class InferenceEngine:
             self._dcache_put((new_token, "kv_pad"), dvalid0)
             self._dcache_put((new_token, "pcd"), new_pcd)
             self._dcache_put((new_token, "pv"), pv0)
+            self._prefetch(dvalid0, R, t, conf, rmse, info)
 
             def resolve_lazy():
                 dv_h, R_h, t_h, conf_h, rmse_h, info_h = jax.device_get(
@@ -645,6 +661,8 @@ class InferenceEngine:
                         float(rmse_h), np.asarray(info_h, np.float64))
 
             return resolve_lazy
+
+        self._prefetch(desc, dvalid, pts_valid, R, t, conf, rmse, info)
 
         def resolve():
             desc_h, dvalid_h, ptsv_h, R_h, t_h, conf_h, rmse_h, info_h = \
