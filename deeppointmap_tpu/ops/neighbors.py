@@ -63,10 +63,9 @@ def pairwise_dist2(src: jnp.ndarray, dst: jnp.ndarray,
 
     Mirrors the reference's `coordinate_distance` (reference: network/
     encoder/utils.py:288-295). grade='exact' accumulates the cross term
-    in float32 multi-pass (HIGHEST); grade='fast' (TPU only) runs it as a
-    single-pass bf16 MXU matmul -- ~0.2% relative coordinate rounding,
-    which only perturbs near-tie neighbor RANKINGS (gathered values stay
-    float32). Measured ~2x cheaper at (2048, 16384)."""
+    at HIGHEST (6-pass bf16 = full f32); grade='fast' (TPU only) uses
+    HIGH (3-pass bf16, ~1e-5 relative rounding) -- rank-safe, only
+    near-tie neighbor RANKINGS can flip, and gathered values stay f32."""
     if _fast(grade):
         # 3-pass bf16 (HIGH) rather than single-pass: raw coordinates span
         # +-60 m, and single-pass bf16 input rounding (2^-8 relative =
