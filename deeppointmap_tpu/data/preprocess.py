@@ -39,8 +39,8 @@ class PreprocessConfig(NamedTuple):
     lowpass_std: float = 2.0
     lowpass_flux: int = 4
     norm_ratio: float = 60.0
-    #: neighbor-query grade for the filter kNN ('fast' = bf16 ranking +
-    #: recall 0.9, TPU only; ~2.2x cheaper, see ops/neighbors.py)
+    #: neighbor-query grade for the filter kNN ('fast' = HIGH-precision
+    #: distances + bf16 ranking, TPU only; ~2x cheaper, ops/neighbors.py)
     neighbor_grade: str = "fast"
 
     @classmethod
@@ -110,10 +110,10 @@ def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
         k_shared = max(30 if cfg.use_lowpass else 0,
                        (cfg.normals_num + 1) if cfg.use_lowpass else 0,
                        (cfg.outlier_neighbors + 1) if cfg.use_outlier else 0)
-        # 'fast' grade (bf16 ranking, recall 0.9, TPU only): these
+        # 'fast' grade (HIGH distances + bf16 ranking, TPU only): these
         # neighborhoods feed distance STATISTICS (outlier mean, normal
         # PCA, coherence top-flux), all insensitive to near-tie ranking
-        # flips; measured 6.0 -> 2.6 ms of the per-frame device budget
+        # flips; measured 9.1 -> 8.0 ms for the whole chain
         nb = knn(pts, pts, k_shared, valid, grade=cfg.neighbor_grade)
 
     if cfg.use_outlier:

@@ -98,12 +98,19 @@ def offset_loss(offset_res, pair_valid, offset_value: str = "euclidean"):
         cov = (cen.T @ cen) / jnp.maximum(n - 1.0, 1.0)
         # the reference falls back to the identity metric when the
         # covariance is singular (loss.py:152-154); invert a guaranteed-
-        # invertible matrix and select, instead of branching
-        ok = jnp.abs(jnp.linalg.det(cov)) > 1e-12
+        # invertible matrix and select, instead of branching. The gate is
+        # SCALE-RELATIVE (det ~ sigma^6 shrinks as residuals converge; an
+        # absolute threshold would silently flip well-conditioned small
+        # covariances to euclidean): well-conditioned iff
+        # det > eps * (trace/3)^3.
+        tr = jnp.trace(cov)
+        ok = jnp.abs(jnp.linalg.det(cov)) > \
+            1e-6 * jnp.maximum(tr / 3.0, 1e-30) ** 3
         eye = jnp.eye(3, dtype=cov.dtype)
         cov_inv = jnp.where(ok, jnp.linalg.inv(jnp.where(ok, cov, eye)), eye)
         quad = jnp.einsum("...j,jk,...k->...", offset_res, cov_inv,
-                          offset_res)
+                          offset_res,
+                          preferred_element_type=jnp.float32)
         err = jnp.sqrt(jnp.maximum(quad, 1e-12))
     else:
         raise ValueError(f"unsupported offset_value: {offset_value!r}")

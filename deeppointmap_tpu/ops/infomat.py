@@ -49,7 +49,7 @@ def information_matrix(
     t: jnp.ndarray,          # (3,) or (3, 1)
     radius: float = 1.0,
     center_chunk: int = 2048,
-    grade: str = "fast",
+    grade: str = "exact",
 ) -> jnp.ndarray:
     """Returns the 6x6 information matrix (float32)."""
     moved = src @ R.T + t.reshape(1, 3)

@@ -102,8 +102,9 @@ def knn(
 
     Returns (idx (S, k) int32 ascending-by-distance, dist2 (S, k) float32).
     Chunked over centers to bound the live distance tile at
-    (center_chunk, N) floats. grade='fast' (TPU only): bf16 distance
-    ranking + recall-0.9 PartialReduce, ~2.2x cheaper at production sizes
+    (center_chunk, N) floats. grade='fast' (TPU only): HIGH-precision
+    distances + bf16 top-k ranking (recall 0.95), ~2x cheaper at
+    production sizes
     -- for distance-statistics consumers (filters, correspondence search),
     not for anything needing exact neighbor sets.
 

@@ -91,9 +91,9 @@ class InferenceEngine:
         self.tile_member_buckets = tuple(
             tpu.get("tile_member_buckets", DEFAULT_TILE_MEMBER_BUCKETS))
         #: grade for the info-matrix 1-NN correspondence sweep (a
-        #: distance statistic -- tpu.filter_grade, not the encoder's
-        #: tpu.neighbor_grade)
-        self.neighbor_grade = str(tpu.get("filter_grade", "fast"))
+        #: distance statistic; the encoder's separate tpu.neighbor_grade
+        #: knob is read by Encoder.from_config)
+        self.filter_grade = str(tpu.get("filter_grade", "fast"))
         self.encoder = encoder or Encoder.from_config(args)
         self.decoder = decoder or Decoder.from_config(args)
         if device is not None:
@@ -316,7 +316,7 @@ class InferenceEngine:
             self.dec_params, src, dst, sv, dv, num_pairs, num_pairs_actual,
             method=Decoder.registration)
         info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t,
-                                  grade=self.neighbor_grade)
+                                  grade=self.filter_grade)
         return R, t, conf, rmse, info
 
     def register_with_info_async(self, src_desc, src_valid, dst_desc,
@@ -383,7 +383,7 @@ class InferenceEngine:
             self.dec_params, tile, dst_desc, tvalid, dst_kv,
             num_pairs, num_pairs_actual, method=Decoder.registration)
         info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t,
-                                  grade=self.neighbor_grade)
+                                  grade=self.filter_grade)
         return R, t, conf, rmse, info
 
     def _tile_tile_reg_info_impl(self, s_descs, s_kvs, s_poses, s_mvalid,
@@ -398,7 +398,7 @@ class InferenceEngine:
             self.dec_params, s_tile, d_tile, s_valid, d_valid,
             num_pairs, num_pairs_actual, method=Decoder.registration)
         info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t,
-                                  grade=self.neighbor_grade)
+                                  grade=self.filter_grade)
         return R, t, conf, rmse, info
 
     def _members_dev(self, members):
@@ -549,7 +549,7 @@ class InferenceEngine:
             new_pcd = points[0]  # already meters in raw mode
         info = information_matrix(cand_pcd, cand_pvalid, new_pcd,
                                   pts_valid[0], R, t,
-                                  grade=self.neighbor_grade)
+                                  grade=self.filter_grade)
         # unbatched copies of the new scan's arrays (free inside the jit):
         # the streaming caller caches them device-side under the scan's
         # token so (a) they never re-upload when this scan becomes the
@@ -754,7 +754,8 @@ class InferenceEngine:
 
     # -------------------------------------------------- information matrix
     def _info_impl(self, src, sv, dst, dv, R, t):
-        return information_matrix(src, sv, dst, dv, R, t)
+        return information_matrix(src, sv, dst, dv, R, t,
+                                  grade=self.filter_grade)
 
     def compute_information_matrix(self, src_pcd, src_valid, dst_pcd,
                                    dst_valid, SE3) -> np.ndarray:
