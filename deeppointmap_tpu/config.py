@@ -137,9 +137,10 @@ TPU_DEFAULTS = Config(
     neighbor_grade="fast",
     # grade for DISTANCE-STATISTICS consumers: the device filter chain's
     # shared kNN (outlier mean / normal PCA / coherence) and the info-
-    # matrix 1-NN correspondence sweep. 'fast' is accuracy-neutral there
-    # and ~2.2x cheaper (PARITY.md).
-    filter_grade="fast",
+    # matrix 1-NN correspondence sweep. 'filter' = the fast path with
+    # recall 0.9 -- accuracy-neutral for statistics and ~2x cheaper
+    # (PARITY.md). Also accepts 'fast' (recall 0.95) or 'exact'.
+    filter_grade="filter",
     # data-parallel training width: "auto" = all chips on TPU hardware,
     # or an explicit device count (CPU tests/dryruns pass an int)
     data_parallel="auto",

@@ -39,13 +39,14 @@ class PreprocessConfig(NamedTuple):
     lowpass_std: float = 2.0
     lowpass_flux: int = 4
     norm_ratio: float = 60.0
-    #: neighbor-query grade for the filter kNN ('fast' = HIGH-precision
-    #: distances + bf16 ranking, TPU only; ~2x cheaper, ops/neighbors.py)
-    neighbor_grade: str = "fast"
+    #: neighbor-query grade for the filter kNN ('filter' = HIGH-precision
+    #: distances + bf16 ranking at recall 0.9, TPU only; ~2x cheaper,
+    #: ops/neighbors.py)
+    neighbor_grade: str = "filter"
 
     @classmethod
     def from_transforms(cls, transforms: dict,
-                        neighbor_grade: str = "fast") -> "PreprocessConfig":
+                        neighbor_grade: str = "filter") -> "PreprocessConfig":
         """Build from the yaml transforms tree (same keys the host chain
         uses)."""
         t = dict(transforms)

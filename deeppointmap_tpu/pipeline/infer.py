@@ -47,7 +47,7 @@ def device_preprocess_config(args):
 
     return PreprocessConfig.from_transforms(
         dict(args.transforms),
-        neighbor_grade=str(args.tpu.get("filter_grade", "fast")))
+        neighbor_grade=str(args.tpu.get("filter_grade", "filter")))
 
 
 def make_infer_transform(args):

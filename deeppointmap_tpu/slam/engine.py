@@ -93,7 +93,7 @@ class InferenceEngine:
         #: grade for the info-matrix 1-NN correspondence sweep (a
         #: distance statistic; the encoder's separate tpu.neighbor_grade
         #: knob is read by Encoder.from_config)
-        self.filter_grade = str(tpu.get("filter_grade", "fast"))
+        self.filter_grade = str(tpu.get("filter_grade", "filter"))
         self.encoder = encoder or Encoder.from_config(args)
         self.decoder = decoder or Decoder.from_config(args)
         if device is not None:
