@@ -20,8 +20,41 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from deeppointmap_tpu.ops.neighbors import knn
-from deeppointmap_tpu.ops.normals import estimate_normals
+from deeppointmap_tpu.ops.neighbors import (_fast, _neighbor_topk,
+                                            pairwise_dist2)
+from deeppointmap_tpu.ops.normals import (_p6, accumulate_radius_moments,
+                                          normals_from_moments)
+
+
+def _filter_sweep(pts, valid, k: int, radius: float, grade: str,
+                  center_chunk: int = 2048):
+    """ONE chunked P x P distance sweep serving both filter stages:
+    the top-k neighbor graph (outlier means + coherence indices) and the
+    radius-PCA moment accumulators for normals (cnt, s, S6). Computing
+    these in the same pass halves the N^2 distance work vs separate
+    kNN + radius sweeps. Radius membership is decided on the f32
+    distances BEFORE any bf16 ranking cast, so normal neighborhoods are
+    grade-stable. radius <= 0 skips the moment accumulation."""
+    n = pts.shape[0]
+    p6 = _p6(pts) if radius > 0 else None
+
+    def one(c_block):
+        d2 = pairwise_dist2(c_block, pts, grade)
+        d2m = jnp.where(valid[None, :], d2, jnp.float32(1e9))
+        rank = d2m.astype(jnp.bfloat16) if _fast(grade) else d2m
+        idx, dist2 = _neighbor_topk(rank, k, grade)
+        if radius <= 0:
+            return idx, dist2
+        w = (d2m <= radius * radius).astype(jnp.float32)
+        cnt, s, S6 = accumulate_radius_moments(w, pts, p6)
+        return idx, dist2, cnt, s, S6
+
+    if n <= center_chunk:
+        return one(pts)
+    assert n % center_chunk == 0, (n, center_chunk)
+    chunks = pts.reshape(n // center_chunk, center_chunk, 3)
+    outs = jax.lax.map(one, chunks)
+    return tuple(o.reshape(n, *o.shape[2:]) for o in outs)
 
 
 class PreprocessConfig(NamedTuple):
@@ -97,25 +130,27 @@ def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
         dist = jnp.linalg.norm(pts, axis=1)
         valid = valid & (dist >= cfg.min_dis) & (dist <= cfg.max_dis)
 
-    # ONE kNN pass feeds the outlier filter, normal estimation, and the
-    # coherence neighborhoods: the full P x P distance+top-k sweep is the
-    # dominant preprocessing cost (two sweeps measured ~16 ms of the
-    # ~29 ms/frame device budget at P=16384). The reference recomputes
-    # neighbors after outlier removal; here dropped points are re-masked
-    # out of the shared graph and each row re-ranked by masked distance --
-    # identical unless a survivor's true k-th neighbor lies beyond the
-    # shared top-30, which the radius caps make negligible (survivor-set
-    # parity is asserted in tests/test_preprocess.py).
+    # ONE chunked P x P sweep (k = max(outlier_k+1, coherence_k+1),
+    # typically 17) feeds the outlier filter, the coherence
+    # neighborhoods, AND the radius-PCA moments for normals -- normals
+    # need no kNN at all (exact radius accumulation, the reference's
+    # uncapped Open3D radius-search semantics, transforms.py:271). Two
+    # documented approximations vs the reference's sequential recompute:
+    # dropped neighbors are masked out of the shared coherence graph
+    # instead of re-queried, and normals are estimated on the
+    # PRE-outlier cloud (statistical outliers are isolated by
+    # definition; measured survivor impact 0.067%). Survivor-set parity
+    # vs the host chain is asserted in tests/test_preprocess.py.
     nb = None
+    moments = None
     if cfg.use_outlier or cfg.use_lowpass:
-        k_shared = max(30 if cfg.use_lowpass else 0,
-                       (cfg.normals_num + 1) if cfg.use_lowpass else 0,
+        k_shared = max((cfg.normals_num + 1) if cfg.use_lowpass else 0,
                        (cfg.outlier_neighbors + 1) if cfg.use_outlier else 0)
-        # 'fast' grade (HIGH distances + bf16 ranking, TPU only): these
-        # neighborhoods feed distance STATISTICS (outlier mean, normal
-        # PCA, coherence top-flux), all insensitive to near-tie ranking
-        # flips; measured 9.1 -> 8.0 ms for the whole chain
-        nb = knn(pts, pts, k_shared, valid, grade=cfg.neighbor_grade)
+        out = _filter_sweep(pts, valid, k_shared,
+                            cfg.normals_radius if cfg.use_lowpass else 0.0,
+                            cfg.neighbor_grade)
+        nb = out[:2]
+        moments = out[2:] if cfg.use_lowpass else None
 
     if cfg.use_outlier:
         # statistical outlier: mean distance to k nearest survivors
@@ -126,32 +161,18 @@ def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
         valid = valid & (mean_d <= mu + cfg.outlier_std * sd)
 
     if cfg.use_lowpass:
-        # low-pass: top-flux neighbor-normal coherence over the shared
-        # graph. Outlier-dropped neighbors are MASKED (distance 1e9 for
-        # the normals' radius cap; similarity 0 for the coherence
-        # top-flux) rather than re-ranked -- a (P, 30) argsort costs ~7 ms
-        # of VPU time at P=16384, while masking is fused for free, and
-        # both only approximate the reference's full neighbor recompute.
-        # ONE packed gather [xyz | validity] feeds both the outlier
-        # re-mask and the normals' PCA neighborhoods (separate gathers
-        # measured ~1.5 ms each at P=16384)
-        idx0, d20 = nb
-        packed = jnp.concatenate(
-            [pts, valid.astype(jnp.float32)[:, None]], axis=1)  # (P, 4)
-        g = jnp.take(packed, idx0, axis=0)                   # (P, 30, 4)
-        nbr_xyz = g[..., :3]
-        nbr_valid = None
-        if cfg.use_outlier:
-            nbr_valid = g[..., 3] > 0.5                      # (P, 30)
-            nb = (idx0, jnp.where(nbr_valid, d20, jnp.float32(1e9)))
-        normals = estimate_normals(pts, valid, cfg.normals_radius,
-                                   neighbors=nb, neighbor_xyz=nbr_xyz)
+        normals = normals_from_moments(pts, *moments)
         idx = nb[0][:, :cfg.normals_num + 1]
-        nbr_n = jnp.take(normals, idx[:, 1:], axis=0)        # (P, K, 3)
+        # one packed gather [normal | validity] feeds both the coherence
+        # values and their mask
+        packed = jnp.concatenate(
+            [normals, valid.astype(jnp.float32)[:, None]], axis=1)
+        g = jnp.take(packed, idx, axis=0)                # (P, K+1, 4)
+        nbr_n = g[:, 1:, :3]
+        nbr_valid = g[:, 1:, 3] > 0.5
         sim = jnp.abs(jnp.einsum("pkc,pc->pk", nbr_n, normals,
                                  preferred_element_type=jnp.float32))
-        if nbr_valid is not None:
-            sim = jnp.where(nbr_valid[:, 1:cfg.normals_num + 1], sim, 0.0)
+        sim = jnp.where(nbr_valid, sim, 0.0)
         top, _ = jax.lax.top_k(sim, cfg.lowpass_flux)
         s = jnp.sum(top, axis=1)
         mu_s, sd_s = _masked_mean_std(s, valid)
