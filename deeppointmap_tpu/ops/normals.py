@@ -1,10 +1,12 @@
 """Surface normal estimation on device (batched analytic 3x3 eigensolver).
 
-The reference estimates normals with Open3D's C++ KD-tree + PCA
-(reference: dataloader/transforms.py:271). Here: kNN neighborhoods via the
-tiled distance kernel, covariance per point, and the smallest eigenvector
-from the closed-form trigonometric eigenvalue solution for symmetric 3x3
-matrices (Eberly / Smith) -- fully vectorized, no lax.while, no LAPACK.
+The reference estimates normals with Open3D's C++ KD-tree + radius-PCA
+(KDTreeSearchParamRadius, no neighbor cap -- reference: dataloader/
+transforms.py:271). Here `radius_normals` reproduces those semantics as
+masked MXU moment accumulations over chunked distance tiles (no top-k, no
+gathers), and the smallest eigenvector comes from the closed-form
+trigonometric eigenvalue solution for symmetric 3x3 matrices
+(Eberly / Smith) -- fully vectorized, no lax.while, no LAPACK.
 """
 
 from __future__ import annotations
@@ -12,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from deeppointmap_tpu.ops.neighbors import knn, pairwise_dist2
+from deeppointmap_tpu.ops.neighbors import pairwise_dist2
 
 
 def smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
@@ -51,33 +53,6 @@ def smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
     iso = (p2 < 1e-12)[..., None]
     up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], C.dtype), v.shape)
     return jnp.where(iso, up, v)
-
-
-def estimate_normals(xyz: jnp.ndarray, valid: jnp.ndarray,
-                     radius: float, max_nn: int = 30,
-                     neighbors=None, neighbor_xyz=None) -> jnp.ndarray:
-    """Unit normals (N, 3) via PCA over radius-capped kNN neighborhoods.
-    Invalid points get the +z fallback (they are masked downstream).
-    `neighbors` = precomputed (idx, dist2) with >= max_nn columns lets
-    callers share one kNN pass across stages; `neighbor_xyz` additionally
-    skips the (N, K, 3) coordinate gather when the caller already has it
-    (gathers are a measurable share of the preprocessing budget)."""
-    if neighbors is None:
-        idx, dist2 = knn(xyz, xyz, max_nn, valid)
-    else:
-        idx, dist2 = neighbors
-        idx, dist2 = idx[:, :max_nn], dist2[:, :max_nn]
-    w = (dist2 <= radius * radius)                      # (N, K)
-    w = w.at[:, 0].set(True)
-    nbr = jnp.take(xyz, idx, axis=0) if neighbor_xyz is None \
-        else neighbor_xyz[:, :max_nn]                   # (N, K, 3)
-    wf = w.astype(jnp.float32)[..., None]
-    cnt = jnp.maximum(jnp.sum(wf, axis=1), 1.0)
-    mean = jnp.sum(nbr * wf, axis=1, keepdims=True) / cnt[:, None]
-    cen = (nbr - mean) * wf
-    cov = jnp.einsum("nki,nkj->nij", cen, cen,
-                     preferred_element_type=jnp.float32)
-    return smallest_eigvec_3x3(cov)
 
 
 def _p6(pts: jnp.ndarray) -> jnp.ndarray:
