@@ -105,8 +105,7 @@ def radius_normals(xyz: jnp.ndarray, valid: jnp.ndarray, radius: float,
                    grade: str = "exact") -> jnp.ndarray:
     """Unit normals (N, 3) via PCA over ALL valid points within `radius`
     -- the reference's exact semantics (Open3D KDTreeSearchParamRadius,
-    no neighbor cap; reference: dataloader/transforms.py:271), where the
-    kNN-capped `estimate_normals` above is only an approximation.
+    no neighbor cap; reference: dataloader/transforms.py:271).
 
     TPU-first formulation: no top-k and no gathers. Per center chunk the
     masked distance tile directly drives five MXU accumulations

@@ -344,3 +344,85 @@ class TestVoxelSample:
         assert coor.shape == (1, 64, 3) and fea.shape == (1, 64, 16)
         assert bool(np.asarray(v).any())
         assert np.isfinite(np.asarray(fea)).all()
+
+
+def test_radius_normals_fp64_oracle():
+    """radius_normals (moment accumulation + per-center re-centering)
+    vs an fp64 radius-PCA oracle, on a planar patch placed FAR from the
+    origin -- the regime where a naive E[pp^T] - mu mu^T covariance
+    loses the signal to f32 cancellation."""
+    import jax.numpy as jnp
+
+    from deeppointmap_tpu.ops.normals import radius_normals
+
+    rng = np.random.default_rng(3)
+    plane = np.concatenate([rng.normal(0, 0.5, (256, 2)),
+                            rng.normal(0, 0.01, (256, 1))], axis=1)
+    pts = (plane + np.array([40.0, -25.0, 3.0])).astype(np.float32)
+    valid = np.ones((256,), bool)
+    valid[220:] = False
+    r = 0.5
+
+    ours = np.asarray(radius_normals(jnp.asarray(pts), jnp.asarray(valid),
+                                     r))
+    errs = []
+    for i in range(220):
+        d = np.linalg.norm(pts - pts[i], axis=1)
+        nb = pts[(d <= r) & valid].astype(np.float64)
+        if len(nb) < 3:
+            continue
+        _, vecs = np.linalg.eigh(np.cov(nb.T, bias=True))
+        ref = vecs[:, 0]
+        errs.append(min(np.linalg.norm(ours[i] - ref),
+                        np.linalg.norm(ours[i] + ref)))
+    assert max(errs) < 5e-2, max(errs)
+    assert np.mean(errs) < 2e-3, np.mean(errs)
+
+
+def test_filter_sweep_matches_separate_passes():
+    """_filter_sweep's fused top-k + radius moments == separate knn()
+    and radius-moment passes (CPU, exact semantics)."""
+    import jax.numpy as jnp
+
+    from deeppointmap_tpu.data.preprocess import _filter_sweep
+    from deeppointmap_tpu.ops.neighbors import knn
+    from deeppointmap_tpu.ops.normals import normals_from_moments, \
+        radius_normals
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(0, 5, (512, 3)).astype(np.float32)
+    valid = np.ones((512,), bool)
+    valid[480:] = False
+    k, r = 17, 0.8
+
+    idx_f, d2_f, cnt, s, s6 = _filter_sweep(
+        jnp.asarray(pts), jnp.asarray(valid), k, r, "exact",
+        center_chunk=256)
+    idx_k, d2_k = knn(jnp.asarray(pts), jnp.asarray(pts), k,
+                      jnp.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(idx_f), np.asarray(idx_k))
+    # chunk sizes differ (256 vs knn's 2048): XLA partitions the dot
+    # differently, so values match only to f32 reassociation noise
+    np.testing.assert_allclose(np.asarray(d2_f), np.asarray(d2_k),
+                               rtol=1e-5, atol=1e-4)
+
+    # normals agreement needs well-conditioned (planar) neighborhoods:
+    # isotropic clusters have ~zero eigengap, where any f32 rounding
+    # flips the eigenvector arbitrarily
+    plane = np.concatenate([rng.normal(0, 2.0, (512, 2)),
+                            rng.normal(0, 0.01, (512, 1))],
+                           axis=1).astype(np.float32)
+    _, _, cnt, s, s6 = _filter_sweep(jnp.asarray(plane),
+                                     jnp.asarray(valid), k, r, "exact",
+                                     center_chunk=256)
+    n_sweep = np.asarray(normals_from_moments(jnp.asarray(plane), cnt, s,
+                                              s6))
+    n_direct = np.asarray(radius_normals(jnp.asarray(plane),
+                                         jnp.asarray(valid), r,
+                                         center_chunk=256))
+    dots = np.abs(np.sum(n_sweep * n_direct, axis=1))
+    # compare only well-populated neighborhoods: a near-empty one sits at
+    # the isotropic-fallback threshold, where the two paths' f32 rounding
+    # can fall on different sides
+    well = np.asarray(cnt) >= 5
+    assert np.min(dots[well]) > 1 - 1e-4, np.min(dots[well])
