@@ -104,22 +104,33 @@ class OutlierFilter:
         return scan
 
 
-def estimate_normals(xyz: np.ndarray, radius: float, max_nn: int = 30
-                     ) -> np.ndarray:
-    """Unit normals via PCA over radius-capped kNN neighborhoods
-    (reference delegates to Open3D estimate_normals with a radius search,
-    transforms.py:271)."""
+def estimate_normals(xyz: np.ndarray, radius: float) -> np.ndarray:
+    """Unit normals via PCA over ALL points within `radius` -- the
+    reference's exact Open3D semantics (KDTreeSearchParamRadius, no
+    neighbor cap; reference: transforms.py:271), matching the device
+    chain's `ops.normals.radius_normals`. Vectorized as a query_pairs
+    moment accumulation (no per-point Python loop): each pair
+    contributes its endpoint to the other endpoint's first/second
+    moments, then the per-point covariance is recovered in float64."""
     n = xyz.shape[0]
-    k = min(max_nn, n)
-    tree = cKDTree(xyz)
-    d, idx = tree.query(xyz, k=k, workers=-1)
-    w = (d <= radius)                        # radius cap
-    w[:, 0] = True
-    nbr = xyz[idx]                           # (N, k, 3)
-    cnt = np.maximum(w.sum(axis=1, keepdims=True), 1)
-    mean = (nbr * w[..., None]).sum(axis=1, keepdims=True) / cnt[..., None]
-    cen = (nbr - mean) * w[..., None]
-    cov = np.einsum("nki,nkj->nij", cen, cen)
+    pts = xyz.astype(np.float64)
+    pairs = cKDTree(pts).query_pairs(radius, output_type="ndarray")
+    i, j = pairs[:, 0], pairs[:, 1]
+    p6 = np.einsum("ni,nj->nij", pts, pts).reshape(n, 9)
+
+    cnt = np.ones(n)
+    s = pts.copy()
+    S9 = p6.copy()                           # self term
+    np.add.at(cnt, i, 1.0)
+    np.add.at(cnt, j, 1.0)
+    np.add.at(s, i, pts[j])
+    np.add.at(s, j, pts[i])
+    np.add.at(S9, i, p6[j])
+    np.add.at(S9, j, p6[i])
+
+    mean = s / cnt[:, None]
+    cov = S9.reshape(n, 3, 3) / cnt[:, None, None] \
+        - np.einsum("ni,nj->nij", mean, mean)
     _, vecs = np.linalg.eigh(cov)            # ascending eigenvalues
     return vecs[:, :, 0].astype(np.float32)  # smallest -> normal
 

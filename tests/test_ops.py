@@ -426,3 +426,29 @@ def test_filter_sweep_matches_separate_passes():
     # can fall on different sides
     well = np.asarray(cnt) >= 5
     assert np.min(dots[well]) > 1 - 1e-4, np.min(dots[well])
+
+
+def test_grades_inert_on_cpu():
+    """On the CPU backend (the oracle platform), all neighbor-query
+    grades produce IDENTICAL results -- 'fast'/'filter' only change
+    behavior on TPU, so every oracle test certifies the exact path."""
+    import jax.numpy as jnp
+
+    from deeppointmap_tpu.ops.neighbors import hybrid_query, knn
+
+    rng = np.random.default_rng(11)
+    pts = rng.normal(0, 5, (256, 3)).astype(np.float32)
+    valid = np.ones((256,), bool)
+    valid[200:] = False
+
+    base = knn(jnp.asarray(pts), jnp.asarray(pts), 8, jnp.asarray(valid))
+    for grade in ("fast", "filter"):
+        idx, d2 = knn(jnp.asarray(pts), jnp.asarray(pts), 8,
+                      jnp.asarray(valid), grade=grade)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(d2), np.asarray(base[1]))
+        hq = hybrid_query(jnp.asarray(pts), jnp.asarray(pts), 8, 1.0,
+                          jnp.asarray(valid), grade=grade)
+        hq0 = hybrid_query(jnp.asarray(pts), jnp.asarray(pts), 8, 1.0,
+                           jnp.asarray(valid))
+        np.testing.assert_array_equal(np.asarray(hq), np.asarray(hq0))
