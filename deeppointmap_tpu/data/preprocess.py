@@ -20,41 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from deeppointmap_tpu.ops.neighbors import (_fast, _neighbor_topk,
-                                            pairwise_dist2)
-from deeppointmap_tpu.ops.normals import (_p6, accumulate_radius_moments,
+from deeppointmap_tpu.ops.normals import (filter_sweep,
                                           normals_from_moments)
-
-
-def _filter_sweep(pts, valid, k: int, radius: float, grade: str,
-                  center_chunk: int = 2048):
-    """ONE chunked P x P distance sweep serving both filter stages:
-    the top-k neighbor graph (outlier means + coherence indices) and the
-    radius-PCA moment accumulators for normals (cnt, s, S6). Computing
-    these in the same pass halves the N^2 distance work vs separate
-    kNN + radius sweeps. Radius membership is decided on the f32
-    distances BEFORE any bf16 ranking cast, so normal neighborhoods are
-    grade-stable. radius <= 0 skips the moment accumulation."""
-    n = pts.shape[0]
-    p6 = _p6(pts) if radius > 0 else None
-
-    def one(c_block):
-        d2 = pairwise_dist2(c_block, pts, grade)
-        d2m = jnp.where(valid[None, :], d2, jnp.float32(1e9))
-        rank = d2m.astype(jnp.bfloat16) if _fast(grade) else d2m
-        idx, dist2 = _neighbor_topk(rank, k, grade)
-        if radius <= 0:
-            return idx, dist2
-        w = (d2m <= radius * radius).astype(jnp.float32)
-        cnt, s, S6 = accumulate_radius_moments(w, pts, p6)
-        return idx, dist2, cnt, s, S6
-
-    if n <= center_chunk:
-        return one(pts)
-    assert n % center_chunk == 0, (n, center_chunk)
-    chunks = pts.reshape(n // center_chunk, center_chunk, 3)
-    outs = jax.lax.map(one, chunks)
-    return tuple(o.reshape(n, *o.shape[2:]) for o in outs)
 
 
 class PreprocessConfig(NamedTuple):
@@ -94,6 +61,9 @@ class PreprocessConfig(NamedTuple):
             kw["outlier_std"] = t["OutlierFilter"]["std_ratio"]
         if kw["use_lowpass"]:
             lp = t["LowPassFilter"]
+            if float(lp["normals_radius"]) <= 0:
+                raise ValueError("LowPassFilter.normals_radius must be "
+                                 f"> 0 (got {lp['normals_radius']})")
             kw["normals_radius"] = lp["normals_radius"]
             kw["normals_num"] = lp["normals_num"]
             kw["lowpass_std"] = lp["filter_std"]
@@ -146,9 +116,10 @@ def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
     if cfg.use_outlier or cfg.use_lowpass:
         k_shared = max((cfg.normals_num + 1) if cfg.use_lowpass else 0,
                        (cfg.outlier_neighbors + 1) if cfg.use_outlier else 0)
-        out = _filter_sweep(pts, valid, k_shared,
-                            cfg.normals_radius if cfg.use_lowpass else 0.0,
-                            cfg.neighbor_grade)
+        assert not cfg.use_lowpass or cfg.normals_radius > 0, cfg
+        out = filter_sweep(pts, valid, k_shared,
+                           cfg.normals_radius if cfg.use_lowpass else 0.0,
+                           cfg.neighbor_grade)
         nb = out[:2]
         moments = out[2:] if cfg.use_lowpass else None
 

@@ -14,7 +14,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from deeppointmap_tpu.ops.neighbors import pairwise_dist2
+from deeppointmap_tpu.ops.neighbors import (_fast, _neighbor_topk,
+                                            pairwise_dist2)
 
 
 def smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
@@ -100,6 +101,41 @@ def normals_from_moments(c: jnp.ndarray, cnt: jnp.ndarray, s: jnp.ndarray,
     return smallest_eigvec_3x3(cov)
 
 
+def filter_sweep(pts, valid, k: int, radius: float, grade: str,
+                 center_chunk: int = 2048):
+    """ONE chunked P x P distance sweep serving the preprocessing filter
+    stages: the top-k neighbor graph (outlier means + coherence indices)
+    and the radius-PCA moment accumulators for normals (cnt, s, S6).
+    Computing these in the same pass halves the N^2 distance work vs
+    separate kNN + radius sweeps. Radius membership is decided on the
+    f32 distances BEFORE any bf16 ranking cast, so normal neighborhoods
+    are grade-stable. k = 0 skips the top-k (moments only -> (cnt, s,
+    S6)); radius <= 0 skips the moments (-> (idx, dist2))."""
+    assert k > 0 or radius > 0, "filter_sweep with nothing to compute"
+    n = pts.shape[0]
+    pts = pts.astype(jnp.float32)
+    p6 = _p6(pts) if radius > 0 else None
+
+    def one(c_block):
+        d2 = pairwise_dist2(c_block, pts, grade)
+        d2m = jnp.where(valid[None, :], d2, jnp.float32(1e9))
+        out = ()
+        if k > 0:
+            rank = d2m.astype(jnp.bfloat16) if _fast(grade) else d2m
+            out = _neighbor_topk(rank, k, grade)
+        if radius > 0:
+            w = (d2m <= radius * radius).astype(jnp.float32)
+            out = out + accumulate_radius_moments(w, pts, p6)
+        return out
+
+    if n <= center_chunk:
+        return one(pts)
+    assert n % center_chunk == 0, (n, center_chunk)
+    chunks = pts.reshape(n // center_chunk, center_chunk, 3)
+    outs = jax.lax.map(one, chunks)
+    return tuple(o.reshape(n, *o.shape[2:]) for o in outs)
+
+
 def radius_normals(xyz: jnp.ndarray, valid: jnp.ndarray, radius: float,
                    center_chunk: int = 2048,
                    grade: str = "exact") -> jnp.ndarray:
@@ -121,18 +157,6 @@ def radius_normals(xyz: jnp.ndarray, valid: jnp.ndarray, radius: float,
     accumulation matmuls always run HIGH with f32 inputs.
 
     Invalid points get the +z fallback (masked downstream)."""
-    n = xyz.shape[0]
-    pts = xyz.astype(jnp.float32)
-    p6 = _p6(pts)
-
-    def one(c_block):
-        d2 = pairwise_dist2(c_block, pts, grade)
-        w = ((d2 <= radius * radius) & valid[None, :]).astype(jnp.float32)
-        return normals_from_moments(
-            c_block, *accumulate_radius_moments(w, pts, p6))
-
-    if n <= center_chunk:
-        return one(pts)
-    assert n % center_chunk == 0, (n, center_chunk)
-    chunks = pts.reshape(n // center_chunk, center_chunk, 3)
-    return jax.lax.map(one, chunks).reshape(n, 3)
+    assert radius > 0, radius
+    moments = filter_sweep(xyz, valid, 0, radius, grade, center_chunk)
+    return normals_from_moments(xyz.astype(jnp.float32), *moments)

@@ -384,10 +384,10 @@ def test_filter_sweep_matches_separate_passes():
     and radius-moment passes (CPU, exact semantics)."""
     import jax.numpy as jnp
 
-    from deeppointmap_tpu.data.preprocess import _filter_sweep
     from deeppointmap_tpu.ops.neighbors import knn
-    from deeppointmap_tpu.ops.normals import normals_from_moments, \
-        radius_normals
+    from deeppointmap_tpu.ops.normals import (filter_sweep,
+                                              normals_from_moments,
+                                              radius_normals)
 
     rng = np.random.default_rng(5)
     pts = rng.normal(0, 5, (512, 3)).astype(np.float32)
@@ -395,7 +395,7 @@ def test_filter_sweep_matches_separate_passes():
     valid[480:] = False
     k, r = 17, 0.8
 
-    idx_f, d2_f, cnt, s, s6 = _filter_sweep(
+    idx_f, d2_f, cnt, s, s6 = filter_sweep(
         jnp.asarray(pts), jnp.asarray(valid), k, r, "exact",
         center_chunk=256)
     idx_k, d2_k = knn(jnp.asarray(pts), jnp.asarray(pts), k,
@@ -406,13 +406,21 @@ def test_filter_sweep_matches_separate_passes():
     np.testing.assert_allclose(np.asarray(d2_f), np.asarray(d2_k),
                                rtol=1e-5, atol=1e-4)
 
+    # the radius moments against a direct NumPy radius accumulation
+    d_all = np.linalg.norm(pts[:, None, :] - pts[None, :, :], axis=-1)
+    w_np = (d_all <= r) & valid[None, :]
+    np.testing.assert_allclose(np.asarray(cnt),
+                               np.maximum(w_np.sum(1), 1.0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s), w_np @ pts, rtol=2e-4,
+                               atol=1e-3)
+
     # normals agreement needs well-conditioned (planar) neighborhoods:
     # isotropic clusters have ~zero eigengap, where any f32 rounding
     # flips the eigenvector arbitrarily
     plane = np.concatenate([rng.normal(0, 2.0, (512, 2)),
                             rng.normal(0, 0.01, (512, 1))],
                            axis=1).astype(np.float32)
-    _, _, cnt, s, s6 = _filter_sweep(jnp.asarray(plane),
+    _, _, cnt, s, s6 = filter_sweep(jnp.asarray(plane),
                                      jnp.asarray(valid), k, r, "exact",
                                      center_chunk=256)
     n_sweep = np.asarray(normals_from_moments(jnp.asarray(plane), cnt, s,
