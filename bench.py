@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": "scans_per_sec_odometry", "value": N, "unit": "scans/s",
    "vs_baseline": N / REF_CPU_SCANS_PER_SEC,
-   "trials": [...],                    # median-of-3 (tunnel load varies)
+   "trials": [...],                    # median-of-5 (tunnel load varies)
    "accuracy": {"ate_m": ..., "ate_no_loop_m": ..., "loop_edges": ...}}
 
 The accuracy block runs full SLAM with the committed trained synthetic
@@ -108,7 +108,7 @@ def _measure(q, mode="mt"):
             warm.step(f)
 
         trials = []
-        for trial in range(3):   # median-of-3: tunnel load varies 15-30%
+        for trial in range(5):   # median-of-5: tunnel load varies 15-30%
             system = SlamSystem(args, engine, system_id=2 + trial,
                                 logger_dir="/tmp/dpm_bench")
             system.MT_Init()
@@ -121,7 +121,7 @@ def _measure(q, mode="mt"):
             system.MT_Wait()
             dt = (time.perf_counter() - t0) / (n_loops * len(frames))
             trials.append(1.0 / dt)
-        q.put({"scans_per_sec": sorted(trials)[1],
+        q.put({"scans_per_sec": sorted(trials)[len(trials) // 2],
                "trials": [round(t, 2) for t in trials]})
         return
 
