@@ -106,10 +106,14 @@ def voxel_sample(
         & valid
     rel = p - pmin
     vxyz = jnp.floor(rel / voxel_size)
-    # voxel id in float32: exact for the small grids produced by
-    # normalized coords (dims ~ (2*range/voxel)^3 << 2^24)
-    vid = vxyz[:, 0] + vxyz[:, 1] * dims[0] + vxyz[:, 2] * dims[0] * dims[1]
-    vid = jnp.where(in_range, vid, jnp.float32(jnp.inf))
+    # voxel id in int32 (f32 encoding aliases distinct voxels once the
+    # grid exceeds 2^24 ids -- fine grids or ranges inflated by the
+    # out-of-range placeholder); int32 is exact to 2^31
+    vi = vxyz.astype(jnp.int32)
+    di = dims.astype(jnp.int32)
+    sentinel = jnp.iinfo(jnp.int32).max
+    vid = vi[:, 0] + vi[:, 1] * di[0] + vi[:, 2] * di[0] * di[1]
+    vid = jnp.where(in_range, vid, sentinel)
     # distance of each point to its voxel center: the per-voxel
     # representative is the argmin (reference sorts by it globally)
     dis = jnp.sum((rel - vxyz * voxel_size - voxel_size / 2.0) ** 2, axis=-1)
@@ -123,7 +127,7 @@ def voxel_sample(
     nxt = jax.lax.cummin(firstpos[::-1])[::-1]
     nxt = jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)])
     count = nxt - pos                              # run length at each first
-    score = jnp.where(first & jnp.isfinite(vs), count, -1)
+    score = jnp.where(first & (vs < sentinel), count, -1)
     top_cnt, top_pos = jax.lax.top_k(score, k)     # voxels by point count
     sel_valid = top_cnt > 0
     idx = jnp.where(sel_valid, order[top_pos], 0).astype(jnp.int32)

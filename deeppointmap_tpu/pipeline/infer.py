@@ -173,10 +173,6 @@ def main(argv=None):
     args.mode = "infer"
 
     engine_models = build_models(args, args.weight)
-    enc, dec, enc_params, dec_params = engine_models
-    engine = InferenceEngine(args, enc_params, dec_params,
-                             encoder=enc, decoder=dec,
-                             preprocess_cfg=device_preprocess_config(args))
 
     os.makedirs(args.infer_tgt, exist_ok=True)
     save_settings(args, os.path.join(args.infer_tgt, "settings.yaml"))
@@ -197,6 +193,13 @@ def main(argv=None):
         if sp > 1 and len(seqs) > 1:
             run_sequences_parallel(args, engine_models, seqs, sp)
         else:
+            # built lazily: the sequence-parallel path pins one engine
+            # per chip itself, and an abandoned engine here would hold a
+            # dead param copy on device 0
+            enc, dec, enc_params, dec_params = engine_models
+            engine = InferenceEngine(
+                args, enc_params, dec_params, encoder=enc, decoder=dec,
+                preprocess_cfg=device_preprocess_config(args))
             for i, seq in seqs:
                 out_dir = os.path.join(args.infer_tgt, f"Seq{i:02d}")
                 logger.info("=== sequence %d: %s -> %s", i, seq, out_dir)

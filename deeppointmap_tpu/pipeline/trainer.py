@@ -71,6 +71,7 @@ class Trainer:
         self.pad_to = int(args.tpu.encoder_points)
         apply_matmul_precision(args.get("tpu"))
         self.mesh = self._build_mesh(args.tpu.get("data_parallel", "auto"))
+        self._check_multihost_determinism()
 
         self.stage_epochs = [self.cfg.registration.num_epochs,
                              self.cfg.loop_detection.num_epochs]
@@ -91,6 +92,34 @@ class Trainer:
 
         self._params = (enc_params, dec_params)
         self._setup_stage()
+
+    def _check_multihost_determinism(self) -> None:
+        """Multi-host batch contract: every process builds the SAME global
+        batch from its own dataset scan + RNG (the jit treats each host's
+        numpy batch as one sharded global array and never verifies
+        equality). The contract holds by construction -- sorted directory
+        enumeration (data/dataset.py) + an identical default seed -- but a
+        divergent filesystem or a differently-consumed RNG would corrupt
+        gradients SILENTLY, so probe it explicitly at startup."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+
+        state = self.rng.bit_generator.state          # snapshot
+        probe = np.concatenate([
+            [len(self.dataset)],
+            self.rng.permutation(min(len(self.dataset), 64))]).astype(
+                np.int64)
+        self.rng.bit_generator.state = state          # restore
+        gathered = np.asarray(multihost_utils.process_allgather(probe))
+        if not (gathered == gathered[0]).all():
+            raise RuntimeError(
+                "multi-host batch divergence: processes disagree on "
+                "dataset size or RNG stream; every host must see the "
+                "same files and pass the same seed "
+                f"(probe rows: {gathered[:, :4]})")
 
     def _snapshot_source(self) -> None:
         """Zip the package source into the run dir for reproducibility

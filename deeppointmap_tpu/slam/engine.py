@@ -21,9 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import logging
+
 from deeppointmap_tpu.models import Decoder, Encoder
 from deeppointmap_tpu.models.decoder import num_pairs_for
 from deeppointmap_tpu.ops.infomat import information_matrix
+
+logger = logging.getLogger(__name__)
 
 
 DEFAULT_REG_BUCKETS = (256, 512, 1024, 2048, 4096)
@@ -88,6 +92,22 @@ class InferenceEngine:
         lsb = float(tpu.get("upload_quant_lsb", 0.002))
         self.quant_scale = lsb if preprocess_cfg is not None \
             else lsb / self.coor_scale
+        if self.upload_quant == "int16":
+            # int16 CLIPS at +-32767 * lsb (~65.5 m at the default 2 mm).
+            # Clipping is only safe when the distance crop removes every
+            # clipped point (its clipped norm still exceeds max_dis);
+            # otherwise far points would survive at corrupted positions.
+            qmax = 32767.0 * lsb
+            t = dict(args.get("transforms") or {})
+            max_dis = float(t.get("DistanceSample", {}).get("max_dis",
+                                                            float("inf")))
+            if max_dis > qmax:
+                logger.warning(
+                    "int16 upload disabled: DistanceSample.max_dis=%s "
+                    "exceeds the +-%.1f m quantization range (raise "
+                    "tpu.upload_quant_lsb or add a distance crop)",
+                    max_dis, qmax)
+                self.upload_quant = "none"
         self.tile_member_buckets = tuple(
             tpu.get("tile_member_buckets", DEFAULT_TILE_MEMBER_BUCKETS))
         #: grade for the info-matrix 1-NN correspondence sweep (a
@@ -142,10 +162,7 @@ class InferenceEngine:
                 self._dcache.move_to_end(key)
                 return hit
         dev = self._put(arr)  # upload outside the lock (slow tunnel IO)
-        with self._dcache_lock:
-            self._dcache[key] = dev
-            if len(self._dcache) > self._dcache_cap:
-                self._dcache.popitem(last=False)
+        self._dcache_put(key, dev)
         return dev
 
     def invalidate_device_cache(self, token=None) -> None:
@@ -648,7 +665,12 @@ class InferenceEngine:
             self._dcache_put((new_token, "kv_pad"), dvalid0)
             self._dcache_put((new_token, "pcd"), new_pcd)
             self._dcache_put((new_token, "pv"), pv0)
-            self._prefetch(dvalid0, R, t, conf, rmse, info)
+            # pv0 (16 KB) is prefetched too: ScanPack.nonkeyframe()
+            # materializes full_valid so the UNBOUNDED class of graph
+            # nodes holds no device references (keyframe descriptors
+            # stay lazily device-resident -- bounded by keyframe count
+            # and memoized on first host access)
+            self._prefetch(dvalid0, pv0, R, t, conf, rmse, info)
 
             def resolve_lazy():
                 dv_h, R_h, t_h, conf_h, rmse_h, info_h = jax.device_get(

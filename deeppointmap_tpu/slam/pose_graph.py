@@ -122,11 +122,19 @@ class ScanPack:
         return c
 
     def nonkeyframe(self) -> "ScanPack":
-        """Copy without key_points (reference: pose_graph.py:88-100)."""
+        """Copy without key_points (reference: pose_graph.py:88-100).
+
+        full_valid is MATERIALIZED here: non-keyframes are the unbounded
+        node class, and a lazy device thunk would pin its ~16 KB device
+        buffer for the pose graph's lifetime (the engine prefetches the
+        buffer at dispatch, so this fetch is ~free). Keyframe descriptor
+        thunks stay device-resident deliberately -- bounded by keyframe
+        count and memoized on first host access."""
         c = self.copy()
         c.type = "non-keyframe"
         c.key_points = None
         c.key_valid = None
+        c.full_valid = self.full_valid
         return c
 
     def __hash__(self):
