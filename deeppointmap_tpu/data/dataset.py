@@ -51,7 +51,9 @@ class BasicAgent:
 
         files = globlib.glob(os.path.join(root, "*.*"))
         types = {os.path.splitext(f)[1] for f in files}
-        assert len(types) <= 1, "The root can only contain files of the SAME type"
+        assert len(types) <= 1, (
+            f"mixed file extensions under {root!r}: {sorted(types)}; an "
+            "agent directory must hold a single scan format")
         if isinstance(reader, str):
             reader = (read_auto if reader == "auto"
                       else get_reader(reader))
@@ -61,7 +63,10 @@ class BasicAgent:
         if split_num > 1:
             total = len(files)
             ratio = 1.0 / split_num
-            overlap = 1.0 / 20.0  # 5% overlapped frames
+            # adjacent agent slices share a 5%-of-sequence overlap band so
+            # cross-agent loop closure has common geometry to latch onto
+            # (split semantics must match reference body.py:340-348)
+            overlap = 1.0 / 20.0
             start = max(ratio * split_index - overlap, 0.0)
             end = min(ratio * (split_index + 1) + overlap, 1.0)
             files = files[int(total * start):int(total * end)]

@@ -24,8 +24,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from deeppointmap_tpu.models.common import MLP
-from deeppointmap_tpu.ops.neighbors import hybrid_query, group_points
+from deeppointmap_tpu.ops.neighbors import (ball_query, group_points,
+                                            hybrid_query, knn)
 from deeppointmap_tpu.ops.sampling import batched_fps, batched_voxel_sample
+
+#: grouping methods of the reference Querier (network/encoder/utils.py:
+#: 18-43); '-t3d' suffixes name its CUDA twins and normalize away here.
+QUERIERS = ("knn", "ball", "hybrid")
 
 #: per-stage sampler spec: (type, voxel_size, sample_range); size/range
 #: are ignored for fps (reference: pointnext.py:21,30-35)
@@ -45,10 +50,21 @@ def _sample_batch(coor, valid, k, sample=DEFAULT_SAMPLE):
 
 
 def _query_batch(points, centers, k, radius, points_valid,
-                 grade="exact"):
-    return jax.vmap(
-        lambda p, c, v: hybrid_query(p, c, k, radius, v, grade=grade)
-    )(points, centers, points_valid)
+                 grade="exact", querier="hybrid"):
+    """Batched neighbor grouping, dispatching the reference Querier's
+    three methods (network/encoder/utils.py:18-43): knn ignores the
+    radius; ball keeps only in-radius points (self-fill outside); hybrid
+    = knn then clamp-to-radius."""
+    if querier == "knn":
+        fn = lambda p, c, v: knn(p, c, k, v, grade=grade)[0]
+    elif querier == "ball":
+        fn = lambda p, c, v: ball_query(p, c, k, radius, v)
+    elif querier == "hybrid":
+        fn = lambda p, c, v: hybrid_query(p, c, k, radius, v, grade=grade)
+    else:
+        raise ValueError(f"unknown querier {querier!r}: use one of "
+                         f"{QUERIERS}")
+    return jax.vmap(fn)(points, centers, points_valid)
 
 
 class SetAbstraction(nn.Module):
@@ -61,6 +77,7 @@ class SetAbstraction(nn.Module):
     bias: bool = True
     sample: Tuple[str, float, float] = DEFAULT_SAMPLE
     neighbor_grade: str = "exact"
+    querier: str = "hybrid"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
@@ -70,7 +87,8 @@ class SetAbstraction(nn.Module):
         new_coor = jnp.take_along_axis(coor, idx[..., None], axis=1)  # (B,S,3)
 
         group_idx = _query_batch(coor, new_coor, self.nsample, self.radius,
-                                 valid, self.neighbor_grade)          # (B,S,K)
+                                 valid, self.neighbor_grade,
+                                 self.querier)                        # (B,S,K)
         g_coor = jax.vmap(group_points)(coor, group_idx)              # (B,S,K,3)
         g_coor = (g_coor - new_coor[:, :, None, :]) / self.radius
         g_fea = jax.vmap(group_points)(fea, group_idx)                # (B,S,K,C)
@@ -88,11 +106,12 @@ class LocalAggregation(nn.Module):
     in_channel: int
     bias: bool = True
     neighbor_grade: str = "exact"
+    querier: str = "hybrid"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
         group_idx = _query_batch(coor, coor, self.nsample, self.radius, valid,
-                                 self.neighbor_grade)
+                                 self.neighbor_grade, self.querier)
         g_coor = jax.vmap(group_points)(coor, group_idx)
         g_coor = (g_coor - coor[:, :, None, :]) / self.radius
         g_fea = jax.vmap(group_points)(fea, group_idx)
@@ -110,12 +129,13 @@ class InvResMLP(nn.Module):
     expansion: int = 4
     bias: bool = True
     neighbor_grade: str = "exact"
+    querier: str = "hybrid"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
         identity = fea
         fea = LocalAggregation(self.radius, self.nsample, self.in_channel,
-                               self.bias, self.neighbor_grade,
+                               self.bias, self.neighbor_grade, self.querier,
                                name="la")(coor, fea, valid)
         fea = MLP([self.in_channel * self.expansion, self.in_channel],
                   bias=self.bias, drop_last_act=True, name="pw_conv")(fea)
@@ -134,17 +154,18 @@ class Stage(nn.Module):
     bias: bool = True
     sample: Tuple[str, float, float] = DEFAULT_SAMPLE
     neighbor_grade: str = "exact"
+    querier: str = "hybrid"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
         coor, fea, valid = SetAbstraction(
             self.npoint, self.radius_list[0], self.nsample_list[0],
             self.in_channel, self.bias, self.sample, self.neighbor_grade,
-            name="sa")(coor, fea, valid)
+            self.querier, name="sa")(coor, fea, valid)
         for i in range(1, len(self.radius_list)):
             fea = InvResMLP(self.radius_list[i], self.nsample_list[i],
                             self.in_channel * 2, self.expansion, self.bias,
-                            self.neighbor_grade,
+                            self.neighbor_grade, self.querier,
                             name=f"irm{i - 1}")(coor, fea, valid)
         return coor, fea, valid
 
@@ -201,6 +222,9 @@ class Encoder(nn.Module):
     #: or 'fast' (f32 HIGH distances, bf16 top-k ranking -- TPU only;
     #: rank-safe perturbation, measured in PARITY.md)
     neighbor_grade: str = "exact"
+    #: grouping method: 'hybrid' (reference default, pointnext.py:36,82),
+    #: 'knn', or 'ball' -- yaml key `encoder.querier`
+    querier: str = "hybrid"
 
     @classmethod
     def from_config(cls, args) -> "Encoder":
@@ -221,6 +245,13 @@ class Encoder(nn.Module):
         if len(sample) == 1:
             sample = sample * len(e.npoint)
         assert len(sample) == len(e.npoint), (sample, e.npoint)
+        # reference Querier method incl. its '-t3d' CUDA-twin spellings
+        querier = str(e.get("querier", "hybrid")).lower()
+        if querier.endswith("-t3d"):
+            querier = querier[:-4]
+        if querier not in QUERIERS:
+            raise ValueError(f"unknown encoder.querier {querier!r}: "
+                             f"use one of {QUERIERS}")
         return cls(npoint=tuple(e.npoint),
                    radius_list=tuple(tuple(r) for r in e.radius_list),
                    nsample_list=tuple(tuple(n) for n in e.nsample_list),
@@ -228,8 +259,14 @@ class Encoder(nn.Module):
                    width=e.width, expansion=e["expansion"],
                    upsample_layers=e.upsample_layers,
                    bias=e.get("bias", True), sample=tuple(sample),
+                   # fall back to 'exact' when no tpu section is present:
+                   # TPU_DEFAULTS (config.py) is the single opt-in point
+                   # for the approximate 'fast' grade, so a hand-built
+                   # config without it never silently gets recall<1
+                   # grouping during training
                    neighbor_grade=str((args.get("tpu") or {}).get(
-                       "neighbor_grade", "fast")))
+                       "neighbor_grade", "exact")),
+                   querier=querier)
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, valid: jnp.ndarray
@@ -248,7 +285,7 @@ class Encoder(nn.Module):
             c, f, v = Stage(self.npoint[i], self.radius_list[i],
                             self.nsample_list[i], width, self.expansion,
                             self.bias, sample[i], self.neighbor_grade,
-                            name=f"down{i}")(*levels[-1])
+                            self.querier, name=f"down{i}")(*levels[-1])
             levels.append((c, f, v))
             width *= 2
 

@@ -17,6 +17,7 @@ Semantics parity:
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -100,10 +101,21 @@ def voxel_sample(
     xyz = jnp.asarray(xyz, jnp.float32)
     big = jnp.float32(2.0 * sample_range)
     p = jnp.where(valid[:, None], xyz, big)       # pads pushed out of range
-    pmin = jnp.min(p, axis=0)
-    dims = jnp.floor((jnp.max(p, axis=0) - pmin) / voxel_size) + 1.0
     in_range = (jnp.sum(p * p, axis=-1) <= sample_range * sample_range) \
         & valid
+    # Clamp the coords used for GRID construction to a static bound: any
+    # clamped point is already outside sample_range (-> sentinel id), and
+    # the bound makes the id space statically <= (4r/vox+1)^3, so the
+    # int32 voxel ids below provably cannot wrap for any input data.
+    bound = jnp.float32(2.0 * sample_range)
+    dims_max = math.floor(4.0 * sample_range / voxel_size) + 2
+    assert float(dims_max) ** 3 < 2 ** 31, (
+        f"voxel grid id space {dims_max}^3 overflows int32; increase "
+        f"voxel_size (= {voxel_size}) or decrease sample_range "
+        f"(= {sample_range})")
+    p = jnp.clip(p, -bound, bound)
+    pmin = jnp.min(p, axis=0)
+    dims = jnp.floor((jnp.max(p, axis=0) - pmin) / voxel_size) + 1.0
     rel = p - pmin
     vxyz = jnp.floor(rel / voxel_size)
     # voxel id in int32 (f32 encoding aliases distinct voxels once the

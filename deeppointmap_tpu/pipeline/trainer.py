@@ -108,10 +108,13 @@ class Trainer:
         from jax.experimental import multihost_utils
 
         state = self.rng.bit_generator.state          # snapshot
+        # Fixed 65-element probe regardless of dataset size: allgather
+        # needs identical shapes on every process even when the hosts
+        # DISAGREE on len(dataset) -- the very fault being diagnosed. A
+        # size-dependent probe would turn that fault into an opaque
+        # collective shape error or a hang instead of the RuntimeError.
         probe = np.concatenate([
-            [len(self.dataset)],
-            self.rng.permutation(min(len(self.dataset), 64))]).astype(
-                np.int64)
+            [len(self.dataset)], self.rng.permutation(64)]).astype(np.int64)
         self.rng.bit_generator.state = state          # restore
         gathered = np.asarray(multihost_utils.process_allgather(probe))
         if not (gathered == gathered[0]).all():

@@ -27,6 +27,12 @@ def demo_args(root, out_dir):
         dataset=[dict(name="synthetic", root=root, scenes=["scene0"],
                       reader=dict(type="npz"))],
         transforms={
+            # synthetic scans are <=35 m (data/synthetic.py sensor_range),
+            # so this crop drops nothing -- it exists to satisfy the int16
+            # upload guard (engine.py: max_dis must fit the +-65.5 m
+            # quantization range) so the bench accuracy block prices the
+            # PRODUCTION quantized upload path every round
+            "DistanceSample": {"min_dis": 0.0, "max_dis": 60.0},
             "CoordinatesNormalization": {"ratio": 60.0},
             "ToTensor": {"padding_to": -1},
         },

@@ -460,3 +460,44 @@ def test_grades_inert_on_cpu():
         hq0 = hybrid_query(jnp.asarray(pts), jnp.asarray(pts), 8, 1.0,
                            jnp.asarray(valid))
         np.testing.assert_array_equal(np.asarray(hq), np.asarray(hq0))
+
+
+class TestEncoderQuerier:
+    """The reference Querier dispatches knn/ball/hybrid grouping
+    (reference: network/encoder/utils.py:18-43); all three are plumbed
+    through `encoder.querier`."""
+
+    def _build(self, querier):
+        from deeppointmap_tpu.config import Config
+        from deeppointmap_tpu.models import Encoder
+
+        args = Config(encoder=dict(
+            npoint=[64, 16], radius_list=[[0.1, 0.2], [0.2, 0.4]],
+            nsample_list=[[8, 8], [8, 8]], in_channel=3, out_channel=16,
+            width=8, expansion=4, upsample_layers=1, norm="LN", bias=True,
+            sample=[{"type": "fps"}], querier=querier))
+        return Encoder.from_config(args)
+
+    def test_variants_run_and_hybrid_equals_default(self):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        pts = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 256, 3)), jnp.float32)
+        valid = jnp.ones((1, 256), bool)
+        outs = {}
+        for q in ("hybrid", "knn", "ball", "hybrid-t3d"):
+            enc = self._build(q)
+            params = jax.jit(enc.init)(jax.random.PRNGKey(0), pts, valid)
+            coor, fea, v = jax.jit(enc.apply)(params, pts, valid)
+            assert coor.shape == (1, 64, 3) and fea.shape == (1, 64, 16)
+            assert np.isfinite(np.asarray(fea)).all()
+            outs[q] = np.asarray(fea)
+        # '-t3d' spellings are the reference's CUDA twins of the same op
+        np.testing.assert_array_equal(outs["hybrid"], outs["hybrid-t3d"])
+        # knn ignores the radius clamp -> different features than hybrid
+        assert not np.allclose(outs["hybrid"], outs["knn"])
+
+    def test_unknown_querier_rejected(self):
+        with pytest.raises(ValueError, match="querier"):
+            self._build("octree")

@@ -42,6 +42,19 @@ def test_batched_matches_xla_path():
                                       np.asarray(ref_idx)[np.asarray(ref_sv)])
 
 
+@pytest.mark.parametrize("k", [61, 13])
+def test_k_not_multiple_of_8_trim_path(k):
+    """The kernel rounds k up to a multiple of 8 (sublane packing) and
+    trims the output to [:, :k]; exercise that path against the oracle."""
+    rng = np.random.default_rng(7)
+    xyz = rng.normal(size=(520, 3)).astype(np.float32)
+    valid = np.ones(520, bool)
+    idx, sv = fps_pallas(xyz, valid, k, interpret=True)
+    assert idx.shape == (k,) and sv.shape == (k,)
+    np.testing.assert_array_equal(np.asarray(idx), _numpy_fps(xyz, k))
+    assert bool(np.all(np.asarray(sv)))
+
+
 def test_exhausts_valid_points():
     rng = np.random.default_rng(2)
     xyz = rng.normal(size=(200, 3)).astype(np.float32)
