@@ -228,12 +228,35 @@ class Trainer:
             # passed to the jitted step are sharded by in_shardings.
             repl = replicated(self.mesh)
             bsh = batch_sharding(self.mesh)
+            self._batch_shd = bsh
             self.state = jax.device_put(self.state, repl)
-            self.train_step = jax.jit(raw_step, donate_argnums=(0,),
-                                      in_shardings=(repl, bsh),
-                                      out_shardings=(repl, repl))
+            jitted = jax.jit(raw_step, donate_argnums=(0,),
+                             in_shardings=(repl, bsh),
+                             out_shardings=(repl, repl))
+            if jax.process_count() > 1:
+                # Multi-host: numpy can't be auto-sharded over
+                # non-addressable devices, so assemble each batch leaf
+                # into a global jax.Array first. Every process builds the
+                # IDENTICAL global batch (contract probed at startup by
+                # _check_multihost_determinism), so each host just serves
+                # the index-slices its local devices own -- the
+                # fetch-by-index twin of the reference's per-rank
+                # DistributedSampler (reference: trainer.py:88-91).
+                self.train_step = lambda state, batch: jitted(
+                    state, self._globalize(batch))
+            else:
+                self.train_step = jitted
         else:
+            self._batch_shd = None
             self.train_step = jax.jit(raw_step, donate_argnums=(0,))
+
+    def _globalize(self, batch):
+        """Host-local numpy batch -> dp-sharded global jax.Array tree."""
+        def one(leaf):
+            arr = np.asarray(leaf)
+            return jax.make_array_from_callback(
+                arr.shape, self._batch_shd, lambda idx: arr[idx])
+        return jax.tree.map(one, batch)
 
     def _curriculum_K(self) -> int:
         """K = min(K_0 * K_mult^(epoch // mult_epoch), K_max)
