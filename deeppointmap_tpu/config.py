@@ -158,6 +158,13 @@ TPU_DEFAULTS = Config(
     # scans/s through the shared tunnel); deeper showed no further gain.
     # Costs one extra frame of candidate staleness vs depth 1.
     odometer_pipeline_depth=2,
+    # automatic MT staleness fallback: when platform speed x in-flight
+    # frames exceeds staleness_fallback_frac x the adaptive keyframe
+    # distance, the odometer serializes against mapping (sequential
+    # ordering) until the ratio recovers -- high-speed streams keep
+    # sequential-grade accuracy instead of inflating keyframes/ATE
+    staleness_fallback=True,
+    staleness_fallback_frac=0.5,
 )
 
 

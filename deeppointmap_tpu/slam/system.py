@@ -51,6 +51,14 @@ class SlamSystem:
         from collections import deque
         self._recent_poses = deque(maxlen=2)
         self.coor_scale = float(args.slam_system.coor_scale)
+        # mapping-progress handshake for the automatic staleness fallback:
+        # when platform speed x in-flight depth approaches the keyframe
+        # distance, the odometer waits for mapping to drain so candidate
+        # search sees a current graph (sequential-ordering semantics)
+        self._map_progress = threading.Condition()
+        self._mapped_count = 0
+        self._staleness_active = False
+        self._staleness_events = 0   # ON transitions (observability/tests)
 
         self.posegraph_map = PoseGraph(args=args, agent_id=system_id)
         ss_args = args  # modules read args.slam_system themselves
@@ -227,6 +235,8 @@ class SlamSystem:
         self._q_map_bak = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
         self._q_bak_out = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
         self._mt_errors: List = []
+        self._mapped_count = 0          # matches the odometer's fresh
+        self._staleness_active = False  # per-session `sent` counter
         stages = [
             ("todevice", self._mt_todevice, (self._q_in, self._q_pre_odo),
              self._q_pre_odo),
@@ -322,6 +332,9 @@ class SlamSystem:
         ss = self.args.slam_system
         tpu_cfg = self.args.get("tpu") or {}
         depth = int(tpu_cfg.get("odometer_pipeline_depth", 1))
+        fb_on = bool(tpu_cfg.get("staleness_fallback", True))
+        fb_frac = float(tpu_cfg.get("staleness_fallback_frac", 0.5))
+        sent = 0       # frames handed downstream (matched by _mapped_count)
         pending = []  # FIFO of (resolver, pc, R, T, cand, extras, ts, perf_t)
 
         def flush():
@@ -329,7 +342,9 @@ class SlamSystem:
             calls the resolver, so the device->host result wait never
             blocks this thread's dispatch cadence (the fetch latency is
             absorbed concurrently with the next frame's dispatch)."""
+            nonlocal sent
             bundle = pending.pop(0)
+            sent += 1
             self.result_logger.record_perf("odometer",
                                            time.perf_counter() - bundle[-1])
             q_out.put(("bundle", bundle))
@@ -347,6 +362,17 @@ class SlamSystem:
             pc_dev, v_dev = item[4:6] if len(item) > 4 else (point_cloud,
                                                              valid)
             perf_t = time.perf_counter()
+            if fb_on and self._update_staleness_mode(depth, fb_frac):
+                # sequential-ordering mode: drain in-flight frames and
+                # wait for mapping to catch up, so candidate search reads
+                # a CURRENT pose graph (high platform speed makes stale
+                # candidates inflate keyframes and ATE -- measured in
+                # PARITY.md's harsh-stream case)
+                while pending:
+                    flush()
+                with self._map_progress:
+                    self._map_progress.wait_for(
+                        lambda: self._mapped_count >= sent, timeout=30.0)
             candidates = self.odometry.search_candidates(
                 agent_id=self.system_id,
                 predicted_SE3=self._predict_pose(self.frame_id + 1))
@@ -378,6 +404,43 @@ class SlamSystem:
                             candidates[1:], ts, perf_t))
             while len(pending) > depth:
                 flush()
+
+    def _platform_speed(self):
+        """Meters of translation per frame, from the last two
+        mapping-resolved poses (None until two frames resolved)."""
+        rp = list(self._recent_poses)
+        if len(rp) < 2:
+            return None
+        (t1, P1), (t2, P2) = rp
+        if t2 <= t1:
+            return None
+        return float(np.linalg.norm(P2[:3, 3] - P1[:3, 3])) / float(t2 - t1)
+
+    def _update_staleness_mode(self, depth: int, frac: float) -> bool:
+        """Automatic MT staleness fallback: when candidate staleness
+        (pipeline depth + ~1 frame of queue lag, in frames) x platform
+        speed exceeds `frac` of the adaptive keyframe distance, the
+        odometer serializes against mapping (drains + waits) until the
+        ratio drops -- high-speed platforms then degrade to sequential
+        ordering instead of losing accuracy. Hysteresis at 0.7x avoids
+        flapping."""
+        spd = self._platform_speed()
+        if spd is None:
+            return self._staleness_active
+        kfd = max(float(self.mapping.current_key_frame_distance), 1e-6)
+        lag = depth + 1
+        ratio = spd * lag / kfd
+        if not self._staleness_active and ratio > frac:
+            self._staleness_active = True
+            self._staleness_events += 1
+            logger.warning(
+                "MT staleness fallback ON: %.2f m/frame x %d frames in "
+                "flight = %.1f m vs keyframe distance %.1f m; odometer "
+                "now serializes against mapping", spd, lag, spd * lag, kfd)
+        elif self._staleness_active and ratio < 0.7 * frac:
+            self._staleness_active = False
+            logger.info("MT staleness fallback OFF (ratio %.2f)", ratio)
+        return self._staleness_active
 
     def _predict_pose(self, ts: int):
         """Constant-velocity extrapolation of the pose at timestep `ts`
@@ -423,7 +486,14 @@ class SlamSystem:
             else:
                 new_scan, odom_edge = item
             perf_t = time.perf_counter()
-            result = self.mapping.process(new_scan, odom_edge)
+            try:
+                result = self.mapping.process(new_scan, odom_edge)
+            finally:
+                # staleness-fallback handshake: the odometer may be
+                # blocked until this frame's graph update is visible
+                with self._map_progress:
+                    self._mapped_count += 1
+                    self._map_progress.notify_all()
             self.result_logger.record_perf("mapping",
                                            time.perf_counter() - perf_t)
             if new_scan.SE3_pred is not None:
