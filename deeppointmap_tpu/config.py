@@ -165,6 +165,11 @@ TPU_DEFAULTS = Config(
     # sequential-grade accuracy instead of inflating keyframes/ATE
     staleness_fallback=True,
     staleness_fallback_frac=0.5,
+    # keep non-keyframe full point clouds on the host (reference parity:
+    # every ScanPack retains full_pcd). False drops them at vertex
+    # insertion -- bounds long-stream pose-graph memory at O(keyframes);
+    # only the final map render/save loses non-keyframe density.
+    retain_nonkeyframe_pcd=True,
 )
 
 

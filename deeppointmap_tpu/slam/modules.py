@@ -164,6 +164,12 @@ class MappingModule:
         self.engine = engine
 
         self.dist_ratio = 1.0
+        # long-stream memory bound: non-keyframes are the unbounded node
+        # class and their stored full_pcd (~196 KB each) is only read by
+        # the final map render/save. False caps pose-graph memory at
+        # O(keyframes) (scale run, BASELINE.md).
+        self.retain_nonkeyframe_pcd = bool(
+            (args.get("tpu") or {}).get("retain_nonkeyframe_pcd", True))
         if self.ss.key_frame_distance == "auto":
             self.dist_auto_adjust = True
             self.key_frame_distance_0 = self.ss.get("key_frame_distance_0", 3.0)
@@ -300,7 +306,8 @@ class MappingModule:
 
         result = self.keyframe_check(new_scan, odom_edge)
         if result != EXIT_CODE.acpt:
-            pg.add_vertex(new_scan.nonkeyframe())
+            pg.add_vertex(new_scan.nonkeyframe(
+                drop_full_pcd=not self.retain_nonkeyframe_pcd))
             pg.last_known_anyframe = new_scan.token
             odom_edge.type = "locz"
             pg.add_edge(odom_edge)
@@ -375,8 +382,12 @@ class LoopClosureModule:
         (reference: loop_closure.py:90-183)."""
         pg = self.posegraph_map
         ss = self.ss
-        cands = [s for s in pg.get_all_scans()
-                 if s.key_points is not None and s.type == "full"]
+        # O(keyframes) via the incremental index (rebuilding from
+        # get_all_scans() is O(total frames) per event -- quadratic
+        # aggregate over a long stream). key_points_ref: presence check
+        # must not materialize lazy device thunks.
+        cands = [s for s in pg.get_keyframes()
+                 if s.key_points_ref() is not None]
         if targets == "self":
             cands = [s for s in cands if s.agent_id == new_scan.agent_id]
         elif targets == "others":

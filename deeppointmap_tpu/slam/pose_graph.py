@@ -121,7 +121,7 @@ class ScanPack:
         c.type = self.type
         return c
 
-    def nonkeyframe(self) -> "ScanPack":
+    def nonkeyframe(self, drop_full_pcd: bool = False) -> "ScanPack":
         """Copy without key_points (reference: pose_graph.py:88-100).
 
         full_valid is MATERIALIZED here: non-keyframes are the unbounded
@@ -129,12 +129,21 @@ class ScanPack:
         buffer for the pose graph's lifetime (the engine prefetches the
         buffer at dispatch, so this fetch is ~free). Keyframe descriptor
         thunks stay device-resident deliberately -- bounded by keyframe
-        count and memoized on first host access."""
+        count and memoized on first host access.
+
+        drop_full_pcd additionally releases the ~196 KB host point cloud
+        (tpu.retain_nonkeyframe_pcd=false): non-keyframe full_pcd is only
+        ever read by the final map render/save, which skip None -- the
+        long-stream memory knob (scale run in BASELINE.md)."""
         c = self.copy()
         c.type = "non-keyframe"
         c.key_points = None
         c.key_valid = None
-        c.full_valid = self.full_valid
+        if drop_full_pcd:
+            c.full_pcd = None
+            c.full_valid = None
+        else:
+            c.full_valid = self.full_valid
         return c
 
     def __hash__(self):
@@ -190,6 +199,11 @@ class PoseGraph:
 
         # token -> [transformed key_points | None, transformed full_pcd | None]
         self._map_cache: Dict[int, List[Optional[np.ndarray]]] = {}
+        # incremental keyframe index: loop-closure detection scans
+        # keyframes on EVERY event, and rebuilding the list from all
+        # vertices is O(total frames) per event (O(N^2) aggregate over a
+        # long stream). Scans never demote from 'full', so append-only.
+        self._keyframes: List[ScanPack] = []
 
         self.last_known_keyframe: Optional[int] = None
         self.last_known_anyframe: Optional[int] = None
@@ -206,6 +220,7 @@ class PoseGraph:
             self._map_cache[scan.token] = [None, None]
             if scan.type == "full":
                 self.key_frame_num += 1
+                self._keyframes.append(scan)
             self.all_frame_num += 1
 
     def add_edge(self, new_edge: Optional[PoseGraphEdge]) -> None:
@@ -253,6 +268,11 @@ class PoseGraph:
 
     def get_all_scans(self) -> List[ScanPack]:
         return list(self.vertex.values())
+
+    def get_keyframes(self) -> List[ScanPack]:
+        """Keyframe ('full') scans, O(keyframes): served from the
+        append-only index instead of filtering every vertex."""
+        return list(self._keyframes)
 
     def get_all_edges(self) -> List[PoseGraphEdge]:
         return list(self.edge.values())

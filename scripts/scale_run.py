@@ -1,0 +1,164 @@
+"""Long-sequence scale run: stream >=1000 frames through the FULL SLAM
+system (loops on) and profile host-side cost growth vs frame count.
+
+The reference's benchmark protocol is SemanticKITTI 00-10 (seq 00 =
+4,541 frames -- reference: README.md:130-139); round 2 had only validated
+96-frame streams. This run answers: do per-frame host costs (loop
+candidate scan, graph bookkeeping, memory) stay ~flat as the graph grows?
+
+World: multi-lap circuit with per-lap radius drift, so the stream keeps
+revisiting (loop closures fire throughout) while geometry varies.
+Reports per-block scans/s + stage ms + RSS; writes a JSON summary.
+
+Usage: python scripts/scale_run.py [--frames 1200] [--retain_pcd]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024.0
+    return -1.0
+
+
+def drifting_laps(n_frames: int, frames_per_lap: int = 96,
+                  base_radius: float = 25.0, drift: float = 3.0):
+    """Closed laps whose radius drifts lap to lap: revisits overlap but
+    never repeat exactly."""
+    from deeppointmap_tpu.utils import se3 as se3m
+
+    poses = []
+    for k in range(n_frames):
+        lap = k // frames_per_lap
+        a = 2 * np.pi * (k % frames_per_lap) / frames_per_lap
+        r = base_radius + drift * np.sin(2 * np.pi * lap / 7.0)
+        heading = a + np.pi / 2
+        R = np.array([[np.cos(heading), -np.sin(heading), 0],
+                      [np.sin(heading), np.cos(heading), 0],
+                      [0, 0, 1.0]])
+        t = np.array([r * np.cos(a), r * np.sin(a), 1.5])
+        poses.append(se3m.se3(R, t))
+    return poses
+
+
+def build_world(root: str, n_frames: int):
+    from deeppointmap_tpu.data.synthetic import make_world, render_scan
+
+    agent_dir = os.path.join(root, "scene0", "0")
+    if os.path.isdir(agent_dir) and \
+            len(os.listdir(agent_dir)) >= n_frames:
+        return
+    os.makedirs(agent_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    world = make_world(rng)
+    for i, pose in enumerate(drifting_laps(n_frames)):
+        xyz = render_scan(world, pose, rng=rng, max_points=2000)
+        np.savez(os.path.join(agent_dir, f"{i}.npz"), lidar_pcd=xyz,
+                 ego_rotation=pose[:3, :3].astype(np.float32),
+                 ego_translation=pose[:3, 3:].astype(np.float32))
+    print(f"world: {n_frames} frames over {n_frames // 96} drifting laps",
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1200)
+    ap.add_argument("--block", type=int, default=100)
+    ap.add_argument("--root", default="/tmp/dpm_scale_world")
+    ap.add_argument("--out", default="/tmp/dpm_scale_out")
+    ap.add_argument("--retain_pcd", action="store_true",
+                    help="keep non-keyframe full_pcd (reference parity "
+                         "mode; default drops it to bound memory)")
+    ap.add_argument("--json_out", default="")
+    ns = ap.parse_args()
+
+    build_world(ns.root, ns.frames)
+    os.makedirs(ns.out, exist_ok=True)
+
+    from scripts.train_synthetic_demo import demo_args
+    from deeppointmap_tpu.data.dataset import BasicAgent
+    from deeppointmap_tpu.pipeline.common import load_weights
+    from deeppointmap_tpu.pipeline.infer import (device_preprocess_config,
+                                                 make_infer_transform,
+                                                 prefetch)
+    from deeppointmap_tpu.slam.engine import InferenceEngine
+    from deeppointmap_tpu.slam.system import SlamSystem
+    from deeppointmap_tpu.utils.evaluation import ate_rmse
+
+    args = demo_args(ns.root, ns.out)
+    args.infer_src = [os.path.join(ns.root, "scene0", "0")]
+    # revisits recur every 96-frame lap; trust zone must end inside that
+    args.slam_system.loop_detection_trust_range = 15
+    args.tpu["retain_nonkeyframe_pcd"] = bool(ns.retain_pcd)
+
+    wpath = os.path.join(REPO, "artifacts/synthetic_demo/"
+                               "weights_final.msgpack")
+    enc, dec, ep, dp = load_weights(args, wpath)
+    engine = InferenceEngine(args, ep, dp, encoder=enc, decoder=dec,
+                             preprocess_cfg=device_preprocess_config(args))
+    agent = BasicAgent(root=args.infer_src[0], reader="auto")
+    agent.set_independent(make_infer_transform(args))
+    system = SlamSystem(args, engine, system_id=1, logger_dir=ns.out)
+
+    system.MT_Init()
+    blocks = []
+    t_block = time.perf_counter()
+    n = min(len(agent), ns.frames)
+    for i, data in enumerate(prefetch(agent)):
+        if i >= n:
+            break
+        system.MT_Step(data)
+        if (i + 1) % ns.block == 0:
+            dt = time.perf_counter() - t_block
+            t_block = time.perf_counter()
+            stages = {k: round(v[0] * 1000, 2)
+                      for k, v in system.result_logger.log_time(
+                          ns.block).items()}
+            pg = system.posegraph_map
+            blk = dict(frames=i + 1, scans_per_sec=round(ns.block / dt, 2),
+                       rss_mb=round(rss_mb(), 1),
+                       keyframes=pg.key_frame_num,
+                       loop_edges=pg.loop_edge_num, stages_ms=stages)
+            blocks.append(blk)
+            print(json.dumps(blk), flush=True)
+    system.MT_Done()
+    system.MT_Wait()
+
+    pg = system.posegraph_map
+    scans = sorted(pg.get_all_scans(), key=lambda s: s.timestep)
+    pred = np.stack([s.SE3_pred for s in scans])
+    gt = np.stack([s.SE3_gt for s in scans])
+    ate = float(ate_rmse(pred, gt, align=True))
+
+    first, last = blocks[0], blocks[-1]
+    summary = dict(
+        frames=pg.all_frame_num, keyframes=pg.key_frame_num,
+        loop_edges=pg.loop_edge_num, ate_m=round(ate, 4),
+        retain_nonkeyframe_pcd=bool(ns.retain_pcd),
+        scans_per_sec_first_block=first["scans_per_sec"],
+        scans_per_sec_last_block=last["scans_per_sec"],
+        rss_first_block_mb=first["rss_mb"], rss_last_block_mb=last["rss_mb"],
+        blocks=blocks)
+    print("SUMMARY " + json.dumps(
+        {k: v for k, v in summary.items() if k != "blocks"}), flush=True)
+    if ns.json_out:
+        with open(ns.json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,50 @@ def test_sharded_step_matches_single_device(trainers, stage):
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_adam_step_matches_single_device(tmp_path_factory):
+    """DP equivalence on the PRODUCTION optimizer path (AdamW -- the
+    SGD test above already proves raw-gradient equality). Adam divides
+    by sqrt(v)+eps, so elements whose gradient is ~0 can flip update
+    sign under cross-shard reduction-order noise; the contract is
+    therefore distributional: the update mass agrees to float precision
+    and no element moves more than ~2 lr."""
+    from deeppointmap_tpu.pipeline.common import init_params
+
+    lr = 1e-4
+    ts = []
+    for dp, tag in ((2, "adam_dp"), (1, "adam_sd")):
+        t = _make(tmp_path_factory, data_parallel=dp, tag=tag, seed=3)
+        for tree in (t.args.train.registration, t.args.train.loop_detection):
+            tree.optimizer = dict(type="adamw", kwargs=dict(lr=lr))
+        _, _, ep, dpp = init_params(t.args, seed=7)
+        t._params = (ep, dpp)
+        t.stage = 1
+        t._setup_stage()
+        ts.append(t)
+    t_dp, t_sd = ts
+
+    batch = _one_batch(t_sd, 1, seed=31)
+    batch_dp = _one_batch(t_dp, 1, seed=31)
+    for a, b in zip(batch, batch_dp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    state_dp, m_dp = t_dp.train_step(t_dp.state, batch)
+    state_sd, m_sd = t_sd.train_step(t_sd.state, batch)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_sd["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves((state_dp.enc_params,
+                                     state_dp.dec_params)),
+                    jax.tree.leaves((state_sd.enc_params,
+                                     state_sd.dec_params))):
+        diff = np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+        # no element moves more than ~2 optimizer steps apart ...
+        assert diff.max() < 2.5 * lr, diff.max()
+        # ... and the bulk of the update agrees far below the step size
+        # (measured p99 ~1.5e-5 on CPU: reduction-order noise through
+        # Adam's sqrt(v) normalization, not a sharding defect)
+        assert np.percentile(diff, 99) < 5e-5, np.percentile(diff, 99)
+
+
 def test_epoch_covers_every_frame(trainers):
     """Permutation sampling: every dataset frame anchors exactly once per
     epoch (reference DataLoader shuffle semantics, trainer.py:88-95)."""
