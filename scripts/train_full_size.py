@@ -1,0 +1,317 @@
+"""Train DeepPointMap-B at FULL production shapes to convergence on
+synthetic worlds, then evaluate the trained full-size model as a complete
+SLAM system around a two-lap closed loop.
+
+This closes the round-2 gap "full-size SLAM with trained full-size
+weights has never run": the exact architecture the reference ships for
+SemanticKITTI (npoint 4096/1024/256/64/16, width 16..512, 256 tokens x
+128-d descriptors, 3 attention layers -- reference: configs/infer/
+DeepPointMap_B_Main_SemanticKITTI.yaml:33-55) is trained from scratch
+through BOTH curriculum stages by the production Trainer (reference
+training loop: pipeline/modules/trainer.py:79-208), at the production
+16384-point pad, on the TPU.
+
+Training data: multiple dense synthetic worlds (distinct seeds) with
+circle trajectories of varying radius; the EVAL world (seed 0, the bench
+two-lap world) is never trained on.
+
+Usage:
+  python scripts/train_full_size.py                   # full train + eval
+  python scripts/train_full_size.py --measure_remat   # steps/s remat on/off
+  python scripts/train_full_size.py --skip_train      # eval existing weights
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+WEIGHTS = os.path.join(REPO, "artifacts/full_size/weights_final.msgpack")
+
+#: training scenes: (world seed, circle radius m, direction); 96 frames
+#: each. Distinct seeds => distinct geometry; -1 drives the lap in
+#: reverse (heading variety). The eval world is seed 0, never trained.
+TRAIN_SCENES = [(1, 20.0, +1), (2, 28.0, +1), (3, 35.0, +1),
+                (4, 24.0, -1), (5, 31.0, -1), (6, 18.0, -1)]
+FRAMES_PER_SCENE = 96
+
+
+def build_training_worlds(root: str, frames: int = FRAMES_PER_SCENE):
+    """Dense production-scale worlds: ~16k-point scans after render."""
+    from deeppointmap_tpu.data.synthetic import (circle_trajectory,
+                                                 make_world, render_scan)
+
+    for si, (seed, radius, direction) in enumerate(TRAIN_SCENES):
+        agent_dir = os.path.join(root, f"scene{si}", "0")
+        if os.path.isdir(agent_dir):
+            continue
+        os.makedirs(agent_dir, exist_ok=True)
+        rng = np.random.default_rng(seed)
+        world = make_world(rng, n_clusters=300, extent=60.0,
+                           pts_per_cluster=800)
+        poses = circle_trajectory(frames, radius=radius)
+        if direction < 0:
+            poses = poses[::-1]
+        for i, pose in enumerate(poses):
+            xyz = render_scan(world, pose, sensor_range=45.0,
+                              max_points=16384, rng=rng)
+            np.savez(os.path.join(agent_dir, f"{i}.npz"), lidar_pcd=xyz,
+                     ego_rotation=pose[:3, :3].astype(np.float32),
+                     ego_translation=pose[:3, 3:].astype(np.float32))
+        print(f"scene{si}: world seed {seed}, radius {radius} m, "
+              f"dir {direction}, {frames} frames", flush=True)
+
+
+def build_eval_world(root: str, laps: int = 2, frames_per_lap: int = 48):
+    """The bench two-lap world (seed 0) at FULL scan density."""
+    from deeppointmap_tpu.data.synthetic import (circle_trajectory,
+                                                 make_world, render_scan)
+
+    agent_dir = os.path.join(root, "scene0", "0")
+    if os.path.isdir(agent_dir):
+        return
+    os.makedirs(agent_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    world = make_world(rng, n_clusters=300, extent=60.0,
+                       pts_per_cluster=800)
+    lap = circle_trajectory(frames_per_lap, radius=25.0)
+    poses = lap * laps
+    for i, pose in enumerate(poses):
+        xyz = render_scan(world, pose, sensor_range=45.0,
+                          max_points=16384, rng=rng)
+        np.savez(os.path.join(agent_dir, f"{i}.npz"), lidar_pcd=xyz,
+                 ego_rotation=pose[:3, :3].astype(np.float32),
+                 ego_translation=pose[:3, 3:].astype(np.float32))
+
+
+def _model_trees():
+    """Full DeepPointMap-B architecture trees (identical to
+    configs/infer/sample.yaml = the reference SemanticKITTI yaml)."""
+    from deeppointmap_tpu.config import config_from_yaml
+
+    base = config_from_yaml(os.path.join(REPO, "configs/infer/sample.yaml"))
+    return base.encoder, base.decoder
+
+
+TRANSFORMS = {
+    "VoxelSample": {"voxel_size": 0.3, "retention": "first"},
+    "DistanceSample": {"min_dis": 0.0, "max_dis": 60.0},
+    "CoordinatesNormalization": {"ratio": 60.0},
+    "ToTensor": {"padding_to": -1},
+}
+
+
+def full_train_args(root: str, out_dir: str, epochs1: int = 12,
+                    epochs2: int = 4, remat: bool = False):
+    from deeppointmap_tpu.config import Config, TPU_DEFAULTS
+
+    enc_tree, dec_tree = _model_trees()
+    args = Config(
+        dataset=[dict(name="synthetic_full", root=root,
+                      scenes=[f"scene{i}" for i in range(len(TRAIN_SCENES))],
+                      reader=dict(type="npz"))],
+        transforms=dict(TRANSFORMS),
+        encoder=enc_tree, decoder=dec_tree,
+        loss=dict(tau=0.1, offset_value="euclidean", eps_positive=1.0,
+                  eps_offset=2.0, lambda_p=1.0, lambda_c=1.0, lambda_o=1.0),
+        slam_system=dict(coor_scale=60),
+        train=dict(
+            auto_cast=False, save_cycle=4, log_cycle=25,
+            registration=dict(num_epochs=epochs1, batch_size=1, K=2,
+                              K_0=2, K_mult=2, mult_epoch=4, K_max=4,
+                              fill=True, distance=10.0, map_size_max=3,
+                              max_pairs=1024,
+                              optimizer=dict(type="adamw",
+                                             kwargs=dict(lr=1e-3)),
+                              scheduler=dict(type="cosine",
+                                             kwargs=dict(eta_min=1e-5))),
+            loop_detection=dict(num_epochs=epochs2, batch_size=4,
+                                distance=10.0,
+                                optimizer=dict(type="adam",
+                                               kwargs=dict(lr=5e-4)),
+                                scheduler=dict(type="identity"))),
+        tpu=dict(remat=remat),
+        infer_tgt=out_dir, weight="", checkpoint="", multi_thread=False,
+        num_workers=2, profile=False,
+    )
+    tpu = Config(TPU_DEFAULTS)
+    for k, v in args.tpu.items():
+        tpu[k] = v
+    args.tpu = tpu
+    return args
+
+
+def full_eval_args(root: str, out_dir: str):
+    """Full-size SLAM inference config for the synthetic two-lap world:
+    production model trees + the demo-calibrated SLAM thresholds (the
+    synthetic world's scan overlap statistics differ from KITTI)."""
+    from deeppointmap_tpu.config import Config, TPU_DEFAULTS
+
+    enc_tree, dec_tree = _model_trees()
+    args = Config(
+        dataset=[dict(name="synthetic_full_eval", root=root,
+                      scenes=["scene0"], reader=dict(type="npz"))],
+        transforms=dict(TRANSFORMS),
+        encoder=enc_tree, decoder=dec_tree,
+        loss=dict(tau=0.1, offset_value="euclidean", eps_positive=1.0,
+                  eps_offset=2.0, lambda_p=1.0, lambda_c=1.0, lambda_o=1.0),
+        slam_system=dict(
+            coor_scale=60,
+            odometer_candidates_num=1, registration_sample_odometer=0.5,
+            edge_confidence_drop=0.0, edge_rmse_drop=5.0,
+            max_continuous_drop_scan=5,
+            continuous_drop_scan_strategy="recover",
+            key_frame_distance="auto", key_frame_distance_0=4.0,
+            enable_s2m_adjust=True, registration_sample_mapping=0.5,
+            enable_loop_closure=True, loop_detection_gap=0,
+            loop_detection_transaction_gap=10.0,
+            loop_detection_trust_range=15,
+            loop_detection_gnss_distance=-1,
+            loop_detection_pred_distance=100.0,
+            loop_detection_rotation_min=30.0,
+            loop_detection_translation_min=10.0,
+            loop_detection_prob_acpt_threshold=0.6,
+            loop_detection_candidates_num=1,
+            registration_sample_loop=0.5,
+            loop_detection_confidence_acpt_threshold=0.3,
+            enable_global_optimization=True, global_optimization_gap=0),
+        tpu={},
+        infer_src=[os.path.join(root, "scene0", "0")],
+        infer_tgt=out_dir, weight="", checkpoint="", multi_thread=False,
+        num_workers=2, profile=False,
+    )
+    tpu = Config(TPU_DEFAULTS)
+    for k, v in args.tpu.items():
+        tpu[k] = v
+    args.tpu = tpu
+    return args
+
+
+def _build_trainer(args, seed=0):
+    from deeppointmap_tpu.data.dataset import SlamDatasets
+    from deeppointmap_tpu.data.transforms import PointCloudTransforms
+    from deeppointmap_tpu.pipeline.common import init_params
+    from deeppointmap_tpu.pipeline.trainer import Trainer
+
+    rng = np.random.default_rng(seed)
+    tfs = PointCloudTransforms(args, mode="train", rng=rng)
+    tfs.transforms.transforms = tfs.transforms.transforms[:-1]
+    ds = SlamDatasets(args, data_transforms=tfs, rng=rng)
+    enc, dec, ep, dp = init_params(args, seed=0)
+    trainer = Trainer(args, ds, enc, dec, ep, dp, rng=rng)
+    return trainer, ds
+
+
+def measure_remat(root: str, out: str, n_steps: int = 10) -> dict:
+    """Steps/s of the production full-size train step, remat off vs on
+    (recorded in BASELINE.md)."""
+    results = {}
+    for remat in (False, True):
+        args = full_train_args(root, out, remat=remat)
+        trainer, _ = _build_trainer(args)
+        trainer._steps_per_epoch = lambda: n_steps + 2
+        trainer._setup_stage()
+        it = trainer._iter_batches()
+        # warmup: compile
+        batch = next(it)
+        trainer.state, m = trainer.train_step(trainer.state, batch)
+        float(m["loss"])
+        t0 = time.time()
+        for _ in range(n_steps):
+            batch = next(it)
+            trainer.state, m = trainer.train_step(trainer.state, batch)
+        float(m["loss"])
+        dt = (time.time() - t0) / n_steps
+        results[f"remat_{'on' if remat else 'off'}"] = dict(
+            sec_per_step=round(dt, 3), steps_per_sec=round(1.0 / dt, 3))
+        print(f"remat={remat}: {dt:.3f} s/step", flush=True)
+    return results
+
+
+def evaluate(weights: str, out: str, eval_root: str) -> dict:
+    """Two-lap SLAM with the trained full-size model, loops on and off."""
+    from deeppointmap_tpu.pipeline.common import load_weights
+    from deeppointmap_tpu.pipeline.infer import (device_preprocess_config,
+                                                 run_sequence)
+    from deeppointmap_tpu.slam.engine import InferenceEngine
+    from deeppointmap_tpu.utils.evaluation import ate_rmse
+
+    build_eval_world(eval_root)
+    out_d = {}
+    for name, loops in (("ate_m", True), ("ate_no_loop_m", False)):
+        args = full_eval_args(eval_root, out)
+        args.slam_system.enable_loop_closure = loops
+        args.slam_system.enable_global_optimization = loops
+        enc, dec, ep, dp = load_weights(args, weights)
+        engine = InferenceEngine(args, ep, dp, encoder=enc, decoder=dec,
+                                 preprocess_cfg=device_preprocess_config(args))
+        t0 = time.time()
+        system = run_sequence(args, engine, args.infer_src[0], out,
+                              system_id=1)
+        pg = system.posegraph_map
+        scans = sorted(pg.get_all_scans(), key=lambda s: s.timestep)
+        pred = np.stack([s.SE3_pred for s in scans])
+        gt = np.stack([s.SE3_gt for s in scans])
+        out_d[name] = round(float(ate_rmse(pred, gt, align=True)), 4)
+        if loops:
+            out_d["loop_edges"] = int(pg.loop_edge_num)
+        print(f"eval loops={loops}: ATE {out_d[name]} m, "
+              f"{pg.key_frame_num} keyframes, {time.time() - t0:.0f}s",
+              flush=True)
+    return out_d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/dpm_full_train")
+    ap.add_argument("--eval_root", default="/tmp/dpm_full_world2")
+    ap.add_argument("--out", default="./log_train/full_size")
+    ap.add_argument("--epochs1", type=int, default=12)
+    ap.add_argument("--epochs2", type=int, default=4)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--measure_remat", action="store_true")
+    ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--skip_eval", action="store_true")
+    ns = ap.parse_args()
+
+    build_training_worlds(ns.root)
+    os.makedirs(ns.out, exist_ok=True)
+
+    if ns.measure_remat:
+        res = measure_remat(ns.root, ns.out)
+        print(json.dumps(res))
+        return
+
+    if not ns.skip_train:
+        from deeppointmap_tpu.pipeline.common import save_weights
+
+        args = full_train_args(ns.root, ns.out, ns.epochs1, ns.epochs2,
+                               remat=ns.remat)
+        trainer, ds = _build_trainer(args)
+        print(f"dataset: {len(ds)} frames; "
+              f"{trainer._steps_per_epoch()} steps/epoch; "
+              f"stage epochs {trainer.stage_epochs}", flush=True)
+        t0 = time.time()
+        trainer.run()
+        print(f"training done in {(time.time() - t0) / 60:.1f} min",
+              flush=True)
+        os.makedirs(os.path.dirname(WEIGHTS), exist_ok=True)
+        save_weights(WEIGHTS, trainer.state.enc_params,
+                     trainer.state.dec_params)
+        print(f"weights -> {WEIGHTS}", flush=True)
+
+    if not ns.skip_eval:
+        res = evaluate(WEIGHTS, ns.out, ns.eval_root)
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
