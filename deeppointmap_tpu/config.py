@@ -163,8 +163,13 @@ TPU_DEFAULTS = Config(
     # distance, the odometer serializes against mapping (sequential
     # ordering) until the ratio recovers -- high-speed streams keep
     # sequential-grade accuracy instead of inflating keyframes/ATE
+    # frac 0.9 with lag = pipeline depth: the KITTI-like gentle envelope
+    # (1.6 m/frame, adaptive kfd 4-8 m, ratio 0.4-0.82) stays below it
+    # even at stream start before the keyframe EMA adapts, while harsh
+    # streams (3.3 m/frame, ratio >1.0) trip it. (The original 0.5 with
+    # lag depth+1 latched ON even for gentle streams.)
     staleness_fallback=True,
-    staleness_fallback_frac=0.5,
+    staleness_fallback_frac=0.9,
     # keep non-keyframe full point clouds on the host (reference parity:
     # every ScanPack retains full_pcd). False drops them at vertex
     # insertion -- bounds long-stream pose-graph memory at O(keyframes);

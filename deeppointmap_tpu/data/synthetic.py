@@ -77,11 +77,12 @@ def render_scan(world: np.ndarray, pose: np.ndarray,
 def write_npz_sequence(root: str, world: np.ndarray,
                        poses: List[np.ndarray],
                        rng: np.random.Generator | None = None,
+                       agent: str = os.path.join("scene0", "0"),
                        **render_kw) -> str:
     """Write the rendered sequence as an npz scene usable by both
     SlamDatasets (training) and BasicAgent (inference)."""
     rng = rng or np.random.default_rng(0)
-    agent_dir = os.path.join(root, "scene0", "0")
+    agent_dir = os.path.join(root, agent)
     os.makedirs(agent_dir, exist_ok=True)
     for i, pose in enumerate(poses):
         xyz = render_scan(world, pose, rng=rng, **render_kw)

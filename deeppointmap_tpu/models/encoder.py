@@ -56,7 +56,16 @@ def _query_batch(points, centers, k, radius, points_valid,
     radius; ball keeps only in-radius points (self-fill outside); hybrid
     = knn then clamp-to-radius."""
     if querier == "knn":
-        fn = lambda p, c, v: knn(p, c, k, v, grade=grade)[0]
+        # knn leaks invalid indices (1e9-sentinel dist2) when fewer than
+        # k valid points exist; self-fill those slots with the nearest
+        # neighbor so padded points are never grouped (the reference
+        # Querier never sees padded inputs)
+        def fn(p, c, v):
+            idx, d2 = knn(p, c, k, v, grade=grade)
+            # threshold well below the 1e9 sentinel but far above any
+            # real squared distance (the fast grade's bf16 ranking can
+            # round the sentinel slightly)
+            return jnp.where(d2 >= jnp.float32(1e8), idx[:, :1], idx)
     elif querier == "ball":
         fn = lambda p, c, v: ball_query(p, c, k, radius, v)
     elif querier == "hybrid":

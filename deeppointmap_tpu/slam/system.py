@@ -418,17 +418,23 @@ class SlamSystem:
 
     def _update_staleness_mode(self, depth: int, frac: float) -> bool:
         """Automatic MT staleness fallback: when candidate staleness
-        (pipeline depth + ~1 frame of queue lag, in frames) x platform
-        speed exceeds `frac` of the adaptive keyframe distance, the
-        odometer serializes against mapping (drains + waits) until the
-        ratio drops -- high-speed platforms then degrade to sequential
-        ordering instead of losing accuracy. Hysteresis at 0.7x avoids
-        flapping."""
+        (the pipeline depth, in frames) x platform speed exceeds `frac`
+        of the adaptive keyframe distance, the odometer serializes
+        against mapping (drains + waits) until the ratio drops --
+        high-speed platforms then degrade to sequential ordering instead
+        of losing accuracy. Hysteresis at 0.7x avoids flapping; a
+        disabled distance gate (negative keyframe distance) disables the
+        heuristic."""
         spd = self._platform_speed()
         if spd is None:
             return self._staleness_active
-        kfd = max(float(self.mapping.current_key_frame_distance), 1e-6)
-        lag = depth + 1
+        kfd = float(self.mapping.current_key_frame_distance)
+        if kfd < 0:
+            # distance gate disabled (every frame a keyframe): the
+            # staleness-vs-keyframe-spacing heuristic is meaningless
+            return self._staleness_active
+        kfd = max(kfd, 1e-6)
+        lag = depth
         ratio = spd * lag / kfd
         if not self._staleness_active and ratio > frac:
             self._staleness_active = True

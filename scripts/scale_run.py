@@ -56,20 +56,28 @@ def drifting_laps(n_frames: int, frames_per_lap: int = 96,
 
 
 def build_world(root: str, n_frames: int):
-    from deeppointmap_tpu.data.synthetic import make_world, render_scan
+    import json as _json
+    import shutil
+
+    from deeppointmap_tpu.data.synthetic import (make_world,
+                                                 write_npz_sequence)
 
     agent_dir = os.path.join(root, "scene0", "0")
-    if os.path.isdir(agent_dir) and \
-            len(os.listdir(agent_dir)) >= n_frames:
-        return
-    os.makedirs(agent_dir, exist_ok=True)
+    meta = dict(kind="drifting_laps", frames=n_frames, max_points=2000)
+    mpath = os.path.join(root, "scene0", "world_meta.json")
+    try:
+        with open(mpath) as f:
+            if _json.load(f) == meta and os.path.isdir(agent_dir):
+                return
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(os.path.join(root, "scene0"), ignore_errors=True)
     rng = np.random.default_rng(0)
     world = make_world(rng)
-    for i, pose in enumerate(drifting_laps(n_frames)):
-        xyz = render_scan(world, pose, rng=rng, max_points=2000)
-        np.savez(os.path.join(agent_dir, f"{i}.npz"), lidar_pcd=xyz,
-                 ego_rotation=pose[:3, :3].astype(np.float32),
-                 ego_translation=pose[:3, 3:].astype(np.float32))
+    write_npz_sequence(root, world, drifting_laps(n_frames), rng=rng,
+                       max_points=2000)
+    with open(mpath, "w") as f:
+        _json.dump(meta, f)
     print(f"world: {n_frames} frames over {n_frames // 96} drifting laps",
           flush=True)
 
@@ -144,6 +152,11 @@ def main():
     gt = np.stack([s.SE3_gt for s in scans])
     ate = float(ate_rmse(pred, gt, align=True))
 
+    if not blocks:   # --frames smaller than one --block
+        blocks = [dict(frames=pg.all_frame_num, scans_per_sec=-1.0,
+                       rss_mb=round(rss_mb(), 1),
+                       keyframes=pg.key_frame_num,
+                       loop_edges=pg.loop_edge_num, stages_ms={})]
     first, last = blocks[0], blocks[-1]
     summary = dict(
         frames=pg.all_frame_num, keyframes=pg.key_frame_num,

@@ -42,54 +42,90 @@ WEIGHTS = os.path.join(REPO, "artifacts/full_size/weights_final.msgpack")
 TRAIN_SCENES = [(1, 20.0, +1), (2, 28.0, +1), (3, 35.0, +1),
                 (4, 24.0, -1), (5, 31.0, -1), (6, 18.0, -1)]
 FRAMES_PER_SCENE = 96
+#: world density + render settings, shared by training, eval, bench and
+#: tests. sensor_range 32 (not 45): with a 120 m world, longer range
+#: makes far-apart scans see mostly the SAME geometry and the
+#: overlap/loop label carries no learnable signal (measured: stage-2
+#: BCE pinned at ln 2). 32 m splits near/far pairs like real occluded
+#: LiDAR does.
+PTS_PER_CLUSTER = 1000
+RENDER = dict(sensor_range=32.0, max_points=16384)
+
+
+def _scene_is_current(agent_dir: str, meta: dict) -> bool:
+    """World dirs are fingerprinted with their generation parameters so
+    a parameter change regenerates instead of silently reusing stale
+    scans (worlds live in /tmp across script versions). The stamp lives
+    in the SCENE dir (datasets enumerate only subdirs there) -- a
+    non-npz file inside the agent dir would break BasicAgent's
+    single-extension scan enumeration."""
+    scene_dir = os.path.dirname(agent_dir)
+    try:
+        with open(os.path.join(scene_dir, "world_meta.json")) as f:
+            return json.load(f) == meta and os.path.isdir(agent_dir)
+    except (OSError, ValueError):
+        return False
+
+
+def _stamp_scene(agent_dir: str, meta: dict) -> None:
+    with open(os.path.join(os.path.dirname(agent_dir),
+                           "world_meta.json"), "w") as f:
+        json.dump(meta, f)
 
 
 def build_training_worlds(root: str, frames: int = FRAMES_PER_SCENE):
     """Dense production-scale worlds: ~16k-point scans after render."""
+    import shutil
+
     from deeppointmap_tpu.data.synthetic import (circle_trajectory,
-                                                 make_world, render_scan)
+                                                 make_world,
+                                                 write_npz_sequence)
 
     for si, (seed, radius, direction) in enumerate(TRAIN_SCENES):
-        agent_dir = os.path.join(root, f"scene{si}", "0")
-        if os.path.isdir(agent_dir):
+        agent = os.path.join(f"scene{si}", "0")
+        agent_dir = os.path.join(root, agent)
+        meta = dict(seed=seed, radius=radius, direction=direction,
+                    frames=frames, pts_per_cluster=PTS_PER_CLUSTER,
+                    **RENDER)
+        if _scene_is_current(agent_dir, meta):
             continue
-        os.makedirs(agent_dir, exist_ok=True)
+        # whole scene dir: a stale frame_dis.npy next to the agent would
+        # otherwise survive regeneration with wrong distances
+        shutil.rmtree(os.path.dirname(agent_dir), ignore_errors=True)
         rng = np.random.default_rng(seed)
         world = make_world(rng, n_clusters=300, extent=60.0,
-                           pts_per_cluster=800)
+                           pts_per_cluster=PTS_PER_CLUSTER)
         poses = circle_trajectory(frames, radius=radius)
         if direction < 0:
             poses = poses[::-1]
-        for i, pose in enumerate(poses):
-            xyz = render_scan(world, pose, sensor_range=45.0,
-                              max_points=16384, rng=rng)
-            np.savez(os.path.join(agent_dir, f"{i}.npz"), lidar_pcd=xyz,
-                     ego_rotation=pose[:3, :3].astype(np.float32),
-                     ego_translation=pose[:3, 3:].astype(np.float32))
+        write_npz_sequence(root, world, poses, rng=rng, agent=agent,
+                           **RENDER)
+        _stamp_scene(agent_dir, meta)
         print(f"scene{si}: world seed {seed}, radius {radius} m, "
               f"dir {direction}, {frames} frames", flush=True)
 
 
 def build_eval_world(root: str, laps: int = 2, frames_per_lap: int = 48):
     """The bench two-lap world (seed 0) at FULL scan density."""
+    import shutil
+
     from deeppointmap_tpu.data.synthetic import (circle_trajectory,
-                                                 make_world, render_scan)
+                                                 make_world,
+                                                 write_npz_sequence)
 
     agent_dir = os.path.join(root, "scene0", "0")
-    if os.path.isdir(agent_dir):
+    meta = dict(seed=0, radius=25.0, laps=laps,
+                frames_per_lap=frames_per_lap,
+                pts_per_cluster=PTS_PER_CLUSTER, **RENDER)
+    if _scene_is_current(agent_dir, meta):
         return
-    os.makedirs(agent_dir, exist_ok=True)
+    shutil.rmtree(os.path.dirname(agent_dir), ignore_errors=True)
     rng = np.random.default_rng(0)
     world = make_world(rng, n_clusters=300, extent=60.0,
-                       pts_per_cluster=800)
+                       pts_per_cluster=PTS_PER_CLUSTER)
     lap = circle_trajectory(frames_per_lap, radius=25.0)
-    poses = lap * laps
-    for i, pose in enumerate(poses):
-        xyz = render_scan(world, pose, sensor_range=45.0,
-                          max_points=16384, rng=rng)
-        np.savez(os.path.join(agent_dir, f"{i}.npz"), lidar_pcd=xyz,
-                 ego_rotation=pose[:3, :3].astype(np.float32),
-                 ego_translation=pose[:3, 3:].astype(np.float32))
+    write_npz_sequence(root, world, lap * laps, rng=rng, **RENDER)
+    _stamp_scene(agent_dir, meta)
 
 
 def _model_trees():
@@ -109,8 +145,8 @@ TRANSFORMS = {
 }
 
 
-def full_train_args(root: str, out_dir: str, epochs1: int = 12,
-                    epochs2: int = 4, remat: bool = False):
+def full_train_args(root: str, out_dir: str, epochs1: int = 16,
+                    epochs2: int = 8, remat: bool = False):
     from deeppointmap_tpu.config import Config, TPU_DEFAULTS
 
     enc_tree, dec_tree = _model_trees()
@@ -136,8 +172,9 @@ def full_train_args(root: str, out_dir: str, epochs1: int = 12,
             loop_detection=dict(num_epochs=epochs2, batch_size=4,
                                 distance=10.0,
                                 optimizer=dict(type="adam",
-                                               kwargs=dict(lr=5e-4)),
-                                scheduler=dict(type="identity"))),
+                                               kwargs=dict(lr=1e-3)),
+                                scheduler=dict(type="cosine",
+                                               kwargs=dict(eta_min=1e-5)))),
         tpu=dict(remat=remat),
         infer_tgt=out_dir, weight="", checkpoint="", multi_thread=False,
         num_workers=2, profile=False,
@@ -274,8 +311,8 @@ def main():
     ap.add_argument("--root", default="/tmp/dpm_full_train")
     ap.add_argument("--eval_root", default="/tmp/dpm_full_world2")
     ap.add_argument("--out", default="./log_train/full_size")
-    ap.add_argument("--epochs1", type=int, default=12)
-    ap.add_argument("--epochs2", type=int, default=4)
+    ap.add_argument("--epochs1", type=int, default=16)
+    ap.add_argument("--epochs2", type=int, default=8)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--measure_remat", action="store_true")
     ap.add_argument("--skip_train", action="store_true")

@@ -24,9 +24,11 @@ pytestmark = [
 
 def test_full_size_trained_slam_short_stream(tmp_path):
     sys.path.insert(0, REPO)
-    from scripts.train_full_size import full_eval_args
+    from scripts.train_full_size import (PTS_PER_CLUSTER, RENDER,
+                                         full_eval_args)
     from deeppointmap_tpu.data.synthetic import (circle_trajectory,
-                                                 make_world, render_scan)
+                                                 make_world,
+                                                 write_npz_sequence)
     from deeppointmap_tpu.data.dataset import BasicAgent
     from deeppointmap_tpu.pipeline.common import load_weights
     from deeppointmap_tpu.pipeline.infer import (device_preprocess_config,
@@ -35,20 +37,14 @@ def test_full_size_trained_slam_short_stream(tmp_path):
     from deeppointmap_tpu.slam.system import SlamSystem
     from deeppointmap_tpu.utils.evaluation import ate_rmse
 
-    # 8 frames of the full-density eval world (seed 0, never trained on)
+    # 8 frames of the eval world (seed 0, never trained on), rendered
+    # with the SAME shared parameters training/eval/bench use
     root = str(tmp_path / "world")
-    agent_dir = os.path.join(root, "scene0", "0")
-    os.makedirs(agent_dir)
     rng = np.random.default_rng(0)
     world = make_world(rng, n_clusters=300, extent=60.0,
-                       pts_per_cluster=800)
+                       pts_per_cluster=PTS_PER_CLUSTER)
     poses = circle_trajectory(48, radius=25.0)[:8]
-    for i, pose in enumerate(poses):
-        xyz = render_scan(world, pose, sensor_range=45.0,
-                          max_points=16384, rng=rng)
-        np.savez(os.path.join(agent_dir, f"{i}.npz"), lidar_pcd=xyz,
-                 ego_rotation=pose[:3, :3].astype(np.float32),
-                 ego_translation=pose[:3, 3:].astype(np.float32))
+    agent_dir = write_npz_sequence(root, world, poses, rng=rng, **RENDER)
 
     out = str(tmp_path / "out")
     os.makedirs(out)

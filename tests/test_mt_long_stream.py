@@ -71,16 +71,20 @@ def _run(args, out, mt):
     scans = sorted(pg.get_all_scans(), key=lambda s: s.timestep)
     pred = np.stack([s.SE3_pred for s in scans])
     gt = np.stack([s.SE3_gt for s in scans])
-    return pg, float(ate_rmse(pred, gt, align=True))
+    return system, pg, float(ate_rmse(pred, gt, align=True))
 
 
 def test_mt_mode_close_to_sequential(setup):
     args, out = setup
-    pg_seq, ate_seq = _run(args, out, mt=False)
-    pg_mt, ate_mt = _run(args, out, mt=True)
+    _, pg_seq, ate_seq = _run(args, out, mt=False)
+    sys_mt, pg_mt, ate_mt = _run(args, out, mt=True)
     n = 96
     assert pg_seq.all_frame_num >= 0.95 * n
     assert pg_mt.all_frame_num >= 0.90 * n, pg_mt.all_frame_num
     assert ate_seq < 0.5, ate_seq
     # pipelined candidate staleness costs some accuracy; stays same order
     assert ate_mt < 4 * max(ate_seq, 0.1), (ate_mt, ate_seq)
+    # the automatic staleness fallback must NOT fire on this gentle
+    # (KITTI-envelope, ~1.6 m/frame) stream -- it would silently
+    # serialize the pipeline and forfeit MT throughput
+    assert sys_mt._staleness_events == 0, sys_mt._staleness_events
