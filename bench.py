@@ -144,8 +144,13 @@ def _measure(q, mode="mt"):
 
 
 def _accuracy(q):
-    """Closed-loop SLAM accuracy with trained synthetic weights: ATE with
-    and without loop closure on a deterministic two-lap synthetic world."""
+    """Closed-loop SLAM accuracy with TRAINED weights on a deterministic
+    two-lap synthetic world, with and without loop closure.
+
+    Runs the FULL-SIZE DeepPointMap-B model (artifacts/full_size/,
+    trained at production shapes by scripts/train_full_size.py) on the
+    full-density eval world; falls back to the small demo model
+    (artifacts/synthetic_demo/) if the full-size artifact is absent."""
     import os
     import sys
 
@@ -153,11 +158,6 @@ def _accuracy(q):
 
     repo = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, repo)
-    wpath = os.path.join(repo, "artifacts/synthetic_demo/"
-                               "weights_final.msgpack")
-    if not os.path.exists(wpath):
-        q.put({"error": f"no weights artifact at {wpath}"})
-        return
     try:
         import jax
         jax.devices()
@@ -165,48 +165,85 @@ def _accuracy(q):
         q.put({"error": f"tunnel: {e}"})
         return
 
-    from deeppointmap_tpu.data.synthetic import (circle_trajectory,
-                                                 make_world,
-                                                 write_npz_sequence)
     from deeppointmap_tpu.pipeline.common import load_weights
     from deeppointmap_tpu.pipeline.infer import (device_preprocess_config,
                                                  run_sequence)
     from deeppointmap_tpu.slam.engine import InferenceEngine
     from deeppointmap_tpu.utils.evaluation import ate_rmse
-    from scripts.train_synthetic_demo import demo_args
 
-    # two laps around the circle: the second lap revisits the first at
-    # graph distance ~48 (beyond the trust zone), so loop closure must
-    # detect, verify, and optimize (the loops-on vs loops-off ATE delta
-    # is the round-over-round accuracy signal)
-    root = "/tmp/dpm_bench_world2"
-    rng = np.random.default_rng(0)
-    world = make_world(rng)
-    lap = circle_trajectory(48, radius=25.0)
-    poses = lap + lap
-    if not os.path.isdir(os.path.join(root, "scene0")):
-        write_npz_sequence(root, world, poses, rng=rng, max_points=2000)
+    full_w = os.path.join(repo, "artifacts/full_size/weights_final.msgpack")
+    demo_w = os.path.join(repo, "artifacts/synthetic_demo/"
+                                "weights_final.msgpack")
 
-    out = {}
-    for name, loops in (("ate_m", True), ("ate_no_loop_m", False)):
-        args = demo_args(root, "/tmp/dpm_bench_acc")
-        # one lap is ~26 keyframes; revisits sit at that graph distance,
-        # so the trust zone must end well inside it
-        args.slam_system.loop_detection_trust_range = 15
-        args.slam_system.enable_loop_closure = loops
-        args.slam_system.enable_global_optimization = loops
-        enc, dec, ep, dp = load_weights(args, wpath)
-        engine = InferenceEngine(args, ep, dp, encoder=enc, decoder=dec,
-                                 preprocess_cfg=device_preprocess_config(args))
-        system = run_sequence(args, engine, args.infer_src[0],
-                              "/tmp/dpm_bench_acc", system_id=1)
-        pg = system.posegraph_map
-        scans = sorted(pg.get_all_scans(), key=lambda s: s.timestep)
-        pred = np.stack([s.SE3_pred for s in scans])
-        gt = np.stack([s.SE3_gt for s in scans])
-        out[name] = round(float(ate_rmse(pred, gt, align=True)), 4)
-        if loops:
-            out["loop_edges"] = int(pg.loop_edge_num)
+    def run_block(make_args, wpath, root):
+        """Two-lap SLAM, loops on and off: the second lap revisits the
+        first beyond the trust zone, so loop closure must detect, verify
+        and optimize; the loops-on vs loops-off ATE delta is the
+        round-over-round accuracy signal."""
+        blk = {}
+        for name, loops in (("ate_m", True), ("ate_no_loop_m", False)):
+            args = make_args()
+            args.infer_src = [os.path.join(root, "scene0", "0")]
+            args.slam_system.enable_loop_closure = loops
+            args.slam_system.enable_global_optimization = loops
+            enc, dec, ep, dp = load_weights(args, wpath)
+            engine = InferenceEngine(
+                args, ep, dp, encoder=enc, decoder=dec,
+                preprocess_cfg=device_preprocess_config(args))
+            system = run_sequence(args, engine, args.infer_src[0],
+                                  "/tmp/dpm_bench_acc", system_id=1)
+            pg = system.posegraph_map
+            scans = sorted(pg.get_all_scans(), key=lambda s: s.timestep)
+            pred = np.stack([s.SE3_pred for s in scans])
+            gt = np.stack([s.SE3_gt for s in scans])
+            blk[name] = round(float(ate_rmse(pred, gt, align=True)), 4)
+            if loops:
+                blk["loop_edges"] = int(pg.loop_edge_num)
+        return blk
+
+    out = None
+    if os.path.exists(full_w):
+        # PRIMARY: the full-size DeepPointMap-B model trained at
+        # production shapes (scripts/train_full_size.py) on its
+        # full-density eval world
+        from scripts.train_full_size import build_eval_world, full_eval_args
+
+        root = "/tmp/dpm_full_world2"
+        build_eval_world(root)
+        out = run_block(lambda: full_eval_args(root, "/tmp/dpm_bench_acc"),
+                        full_w, root)
+        out["model"] = "full_size_B"
+    if os.path.exists(demo_w):
+        # demo-scale block: sparse scans make far pairs disjoint, so this
+        # is where the trained LOOP-CLOSURE signal lives (the full-size
+        # synthetic worlds leave the overlap label uninformative --
+        # BASELINE.md documents the geometry sweep)
+        from deeppointmap_tpu.data.synthetic import (circle_trajectory,
+                                                     make_world,
+                                                     write_npz_sequence)
+        from scripts.train_synthetic_demo import demo_args
+
+        droot = "/tmp/dpm_bench_world2"
+        rng = np.random.default_rng(0)
+        lap = circle_trajectory(48, radius=25.0)
+        if not os.path.isdir(os.path.join(droot, "scene0")):
+            write_npz_sequence(droot, make_world(rng), lap + lap, rng=rng,
+                               max_points=2000)
+
+        def demo_make():
+            a = demo_args(droot, "/tmp/dpm_bench_acc")
+            a.slam_system.loop_detection_trust_range = 15
+            return a
+
+        demo_blk = run_block(demo_make, demo_w, droot)
+        if out is None:
+            out = demo_blk
+            out["model"] = "demo_small"
+        else:
+            out["demo"] = demo_blk
+    if out is None:
+        q.put({"error": f"no weights artifact at {full_w} or {demo_w}"})
+        return
     q.put({"accuracy": out})
 
 
@@ -249,7 +286,7 @@ def main():
         q = ctx.Queue()
         p = ctx.Process(target=_accuracy, args=(q,))
         p.start()
-        p.join(timeout=1500)
+        p.join(timeout=2400)   # two model blocks (full-size + demo)
         if p.is_alive():
             p.terminate()
             p.join()

@@ -31,13 +31,20 @@ class MLP(nn.Module):
     channels: Sequence[int]
     bias: bool = True
     drop_last_act: bool = False
+    #: activation/compute dtype ("float32" | "bfloat16"). Params stay
+    #: f32 (param_dtype default); bf16 halves the HBM traffic of the
+    #: activations between layers -- the AMP analog of the reference's
+    #: autocast (reference: pipeline/modules/trainer.py:45-48).
+    act_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         n = len(self.channels)
+        dt = jnp.dtype(self.act_dtype)
         for i, ch in enumerate(self.channels):
-            x = nn.Dense(ch, use_bias=self.bias, name=f"dense{i}")(x)
-            x = nn.LayerNorm(name=f"norm{i}")(x)
+            x = nn.Dense(ch, use_bias=self.bias, dtype=dt,
+                         name=f"dense{i}")(x)
+            x = nn.LayerNorm(dtype=dt, name=f"norm{i}")(x)
             if not (self.drop_last_act and i == n - 1):
                 x = jax.nn.relu(x)
         return x

@@ -87,6 +87,7 @@ class SetAbstraction(nn.Module):
     sample: Tuple[str, float, float] = DEFAULT_SAMPLE
     neighbor_grade: str = "exact"
     querier: str = "hybrid"
+    act_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
@@ -98,11 +99,14 @@ class SetAbstraction(nn.Module):
         group_idx = _query_batch(coor, new_coor, self.nsample, self.radius,
                                  valid, self.neighbor_grade,
                                  self.querier)                        # (B,S,K)
+        dt = jnp.dtype(self.act_dtype)
         g_coor = jax.vmap(group_points)(coor, group_idx)              # (B,S,K,3)
-        g_coor = (g_coor - new_coor[:, :, None, :]) / self.radius
-        g_fea = jax.vmap(group_points)(fea, group_idx)                # (B,S,K,C)
+        # relative O(1) offsets: safe in the activation dtype
+        g_coor = ((g_coor - new_coor[:, :, None, :]) / self.radius).astype(dt)
+        g_fea = jax.vmap(group_points)(fea.astype(dt), group_idx)     # (B,S,K,C)
         g = jnp.concatenate([g_fea, g_coor], axis=-1)                 # (B,S,K,C+3)
-        g = MLP([self.in_channel * 2], bias=self.bias, name="mlp")(g)
+        g = MLP([self.in_channel * 2], bias=self.bias,
+                act_dtype=self.act_dtype, name="mlp")(g)
         new_fea = jnp.max(g, axis=2)                                  # (B,S,2C)
         return new_coor, new_fea, new_valid
 
@@ -116,16 +120,19 @@ class LocalAggregation(nn.Module):
     bias: bool = True
     neighbor_grade: str = "exact"
     querier: str = "hybrid"
+    act_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
         group_idx = _query_batch(coor, coor, self.nsample, self.radius, valid,
                                  self.neighbor_grade, self.querier)
+        dt = jnp.dtype(self.act_dtype)
         g_coor = jax.vmap(group_points)(coor, group_idx)
-        g_coor = (g_coor - coor[:, :, None, :]) / self.radius
-        g_fea = jax.vmap(group_points)(fea, group_idx)
+        g_coor = ((g_coor - coor[:, :, None, :]) / self.radius).astype(dt)
+        g_fea = jax.vmap(group_points)(fea.astype(dt), group_idx)
         g = jnp.concatenate([g_fea, g_coor], axis=-1)
-        g = MLP([self.in_channel], bias=self.bias, name="mlp")(g)
+        g = MLP([self.in_channel], bias=self.bias,
+                act_dtype=self.act_dtype, name="mlp")(g)
         return jnp.max(g, axis=2)
 
 
@@ -139,16 +146,18 @@ class InvResMLP(nn.Module):
     bias: bool = True
     neighbor_grade: str = "exact"
     querier: str = "hybrid"
+    act_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
         identity = fea
         fea = LocalAggregation(self.radius, self.nsample, self.in_channel,
                                self.bias, self.neighbor_grade, self.querier,
-                               name="la")(coor, fea, valid)
+                               self.act_dtype, name="la")(coor, fea, valid)
         fea = MLP([self.in_channel * self.expansion, self.in_channel],
-                  bias=self.bias, drop_last_act=True, name="pw_conv")(fea)
-        return jax.nn.relu(fea + identity)
+                  bias=self.bias, drop_last_act=True,
+                  act_dtype=self.act_dtype, name="pw_conv")(fea)
+        return jax.nn.relu(fea + identity.astype(fea.dtype))
 
 
 class Stage(nn.Module):
@@ -164,18 +173,20 @@ class Stage(nn.Module):
     sample: Tuple[str, float, float] = DEFAULT_SAMPLE
     neighbor_grade: str = "exact"
     querier: str = "hybrid"
+    act_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, coor, fea, valid):
         coor, fea, valid = SetAbstraction(
             self.npoint, self.radius_list[0], self.nsample_list[0],
             self.in_channel, self.bias, self.sample, self.neighbor_grade,
-            self.querier, name="sa")(coor, fea, valid)
+            self.querier, self.act_dtype, name="sa")(coor, fea, valid)
         for i in range(1, len(self.radius_list)):
             fea = InvResMLP(self.radius_list[i], self.nsample_list[i],
                             self.in_channel * 2, self.expansion, self.bias,
                             self.neighbor_grade, self.querier,
-                            name=f"irm{i - 1}")(coor, fea, valid)
+                            self.act_dtype, name=f"irm{i - 1}")(coor, fea,
+                                                                valid)
         return coor, fea, valid
 
 
@@ -185,6 +196,7 @@ class FeaturePropagation(nn.Module):
 
     mlp: Sequence[int]
     bias: bool = True
+    act_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, coor1, coor2, fea1, fea2, valid2):
@@ -201,9 +213,11 @@ class FeaturePropagation(nn.Module):
             w = w / jnp.sum(w, axis=-1, keepdims=True)
             return jnp.sum(jnp.take(f2, idx, axis=0) * w[..., None], axis=1)
 
+        dt = jnp.dtype(self.act_dtype)
         inter = jax.vmap(interp)(coor1, coor2, fea2, valid2)  # (B,N,D2)
-        x = jnp.concatenate([fea1, inter], axis=-1)
-        return MLP(self.mlp, bias=self.bias, name="mlp")(x)
+        x = jnp.concatenate([fea1.astype(dt), inter.astype(dt)], axis=-1)
+        return MLP(self.mlp, bias=self.bias, act_dtype=self.act_dtype,
+                   name="mlp")(x)
 
 
 class Encoder(nn.Module):
@@ -234,6 +248,15 @@ class Encoder(nn.Module):
     #: grouping method: 'hybrid' (reference default, pointnext.py:36,82),
     #: 'knn', or 'ball' -- yaml key `encoder.querier`
     querier: str = "hybrid"
+    #: feature-activation dtype ("float32" | "bfloat16"): bf16 halves
+    #: the HBM traffic of every feature gather/MLP. GEOMETRY (coor,
+    #: queries, FPS) always stays f32; only features and the O(1)
+    #: relative offsets are cast. TPU-only at trace time -- CPU (oracle
+    #: tests, virtual meshes) always runs f32, mirroring the
+    #: neighbor_grade gating. yaml key `tpu.encoder_bf16`; the AMP
+    #: analog of the reference's autocast (reference: pipeline/modules/
+    #: trainer.py:45-48).
+    act_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, args) -> "Encoder":
@@ -275,14 +298,23 @@ class Encoder(nn.Module):
                    # grouping during training
                    neighbor_grade=str((args.get("tpu") or {}).get(
                        "neighbor_grade", "exact")),
-                   querier=querier)
+                   querier=querier,
+                   # default OFF like neighbor_grade='exact': TPU_DEFAULTS
+                   # is the single opt-in point for reduced precision
+                   act_dtype="bfloat16" if (args.get("tpu") or {}).get(
+                       "encoder_bf16", False) else "float32")
 
     @nn.compact
     def __call__(self, points: jnp.ndarray, valid: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         coor = points[..., :3]
         fea = points[..., :self.in_channel]
-        fea = nn.Dense(self.width, use_bias=True, name="point_mlp0")(fea)
+        # reduced-precision activations only on TPU (trace-time gate,
+        # same policy as the neighbor grades): CPU oracles stay f32
+        act = self.act_dtype if jax.default_backend() == "tpu" \
+            else "float32"
+        fea = nn.Dense(self.width, use_bias=True, dtype=jnp.dtype(act),
+                       name="point_mlp0")(fea)
 
         levels = [(coor, fea, valid)]
         width = self.width
@@ -294,7 +326,7 @@ class Encoder(nn.Module):
             c, f, v = Stage(self.npoint[i], self.radius_list[i],
                             self.nsample_list[i], width, self.expansion,
                             self.bias, sample[i], self.neighbor_grade,
-                            self.querier, name=f"down{i}")(*levels[-1])
+                            self.querier, act, name=f"down{i}")(*levels[-1])
             levels.append((c, f, v))
             width *= 2
 
@@ -303,7 +335,8 @@ class Encoder(nn.Module):
             c1, f1, v1 = levels[len(self.npoint) - i - 1]
             up_out = max(self.out_channel, width // 2)
             f = FeaturePropagation(mlp=(up_out, up_out), bias=self.bias,
+                                   act_dtype=act,
                                    name=f"up{i}")(c1, c, f1, f, v)
             c, v = c1, v1
             width //= 2
-        return c, f, v
+        return c, f.astype(jnp.float32), v

@@ -17,6 +17,15 @@ import jax.numpy as jnp
 from deeppointmap_tpu.ops.neighbors import (_fast, _neighbor_topk,
                                             pairwise_dist2)
 
+#: A/B switch for the fused Pallas radius-moments kernel (TPU fast
+#: grades only). Default OFF: the kernel is 40-70x more accurate vs f64
+#: truth than the XLA sweep (scripts/check_pallas_moments_tpu.py) but
+#: costs +2.2 ms in the fused odometry step, because the combined
+#: XLA sweep shares ONE distance pass between top-k and moments while
+#: the kernel must recompute distances (measured 2026-08-17, fused step
+#: 16.8 ms -> 19.0 ms). Flip on for accuracy-critical offline use.
+USE_PALLAS_MOMENTS = False
+
 
 def smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue for symmetric (..., 3, 3)
@@ -114,6 +123,20 @@ def filter_sweep(pts, valid, k: int, radius: float, grade: str,
     assert k > 0 or radius > 0, "filter_sweep with nothing to compute"
     n = pts.shape[0]
     pts = pts.astype(jnp.float32)
+
+    if radius > 0 and _fast(grade) and USE_PALLAS_MOMENTS:
+        # fused Pallas moments: the (C, N) membership mask never touches
+        # HBM (ops/pallas_moments.py). _fast() gates to TPU; the
+        # fallback below remains the CPU/oracle semantics.
+        from deeppointmap_tpu.ops.pallas_moments import (
+            radius_moments_pallas, supported)
+        if supported(n):
+            moments = radius_moments_pallas(pts, valid, radius)
+            if k == 0:
+                return moments
+            return filter_sweep(pts, valid, k, 0.0, grade,
+                                center_chunk) + moments
+
     p6 = _p6(pts) if radius > 0 else None
 
     def one(c_block):

@@ -386,7 +386,13 @@ class Trainer:
 
             state = {"enc_params": params[0], "dec_params": params[1],
                      "opt_state": self.state.opt_state}
-            mgr.save(self.epoch, args=ocp.args.Composite(
+            # force: a fresh run re-using a log dir must OVERWRITE the
+            # previous run's checkpoint at the same epoch -- without it
+            # the async save fails (step exists) and the failure only
+            # surfaces at wait_until_finished, i.e. never for non-final
+            # saves (observed: three consecutive full-size runs kept the
+            # first run's stale checkpoints)
+            mgr.save(self.epoch, force=True, args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
                 meta=ocp.args.JsonSave({"epoch": self.epoch,
                                         "step": self.step,

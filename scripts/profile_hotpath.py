@@ -38,6 +38,8 @@ def timeit(fn, trials: int, warmup: int = 3) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=30)
+    ap.add_argument("--encoder_stages", action="store_true",
+                    help="additionally time per-stage query/gather ops")
     cli = ap.parse_args()
 
     import jax
@@ -114,6 +116,18 @@ def main() -> None:
 
     rows.append(("device preprocess chain", timeit(prep, trials)))
 
+    # preprocess A/B: measure the non-default moments path too (XLA
+    # shared-distance sweep vs fused Pallas kernel, ops/normals.py)
+    from deeppointmap_tpu.ops import normals as _normals
+
+    default_moments = _normals.USE_PALLAS_MOMENTS
+    _normals.USE_PALLAS_MOMENTS = not default_moments
+    alt = "pallas" if _normals.USE_PALLAS_MOMENTS else "XLA"
+    pre_alt = jax.jit(lambda p, v: engine._maybe_preprocess(p, v))
+    rows.append((f"device preprocess ({alt} moments)",
+                 timeit(lambda: pre_alt(pd, vd), trials)))
+    _normals.USE_PALLAS_MOMENTS = default_moments
+
     # encoder alone on preprocessed points
     pn, pvn = pre(pd, vd)
     enc_fn = jax.jit(lambda p, v: engine.encoder.apply(
@@ -136,6 +150,34 @@ def main() -> None:
 
         rows.append((f"  fps {n_in}->{k}", timeit(f, trials)))
         n_in = k
+
+    if cli.encoder_stages:
+        # per-stage building-block costs at the exact stage shapes:
+        # neighbor query (distances + top-k), feature gather + MLP.
+        # Together with the fps rows above this decomposes "encoder only"
+        # so perf work targets the dominant op, not a guess.
+        from deeppointmap_tpu.ops.neighbors import hybrid_query, group_points
+
+        grade = str(args.tpu.neighbor_grade)
+        n_in = int(args.tpu.encoder_points)
+        width = int(args.encoder.width)
+        for si, k in enumerate(int(x) for x in args.encoder.npoint):
+            r = float(args.encoder.radius_list[si][0])
+            ns = int(args.encoder.nsample_list[si][0])
+            xyz = jnp.asarray(rng.normal(0, 0.4, (n_in, 3)), jnp.float32)
+            ctr = xyz[:k]
+            vv = jnp.ones((n_in,), bool)
+            q_fn = jax.jit(lambda p, c, v, ns=ns, r=r: hybrid_query(
+                p, c, ns, r, v, grade=grade))
+            rows.append((f"  query s{si} ({k}x{n_in}, k={ns})",
+                         timeit(lambda: q_fn(xyz, ctr, vv), trials)))
+            fea = jnp.asarray(rng.normal(0, 1, (n_in, width)), jnp.float32)
+            gidx = q_fn(xyz, ctr, vv)
+            g_fn = jax.jit(lambda f, i: group_points(f, i))
+            rows.append((f"  gather s{si} ({k}x{ns}x{width})",
+                         timeit(lambda: g_fn(fea, gidx), trials)))
+            n_in = k
+            width *= 2
 
     def reg():
         return engine._register_fn(cd[0], cd[0], cv[0], cv[0], num_pairs=npairs,

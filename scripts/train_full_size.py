@@ -42,14 +42,19 @@ WEIGHTS = os.path.join(REPO, "artifacts/full_size/weights_final.msgpack")
 TRAIN_SCENES = [(1, 20.0, +1), (2, 28.0, +1), (3, 35.0, +1),
                 (4, 24.0, -1), (5, 31.0, -1), (6, 18.0, -1)]
 FRAMES_PER_SCENE = 96
-#: world density + render settings, shared by training, eval, bench and
-#: tests. sensor_range 32 (not 45): with a 120 m world, longer range
-#: makes far-apart scans see mostly the SAME geometry and the
-#: overlap/loop label carries no learnable signal (measured: stage-2
-#: BCE pinned at ln 2). 32 m splits near/far pairs like real occluded
-#: LiDAR does.
-PTS_PER_CLUSTER = 1000
-RENDER = dict(sensor_range=32.0, max_points=16384)
+#: world + render settings, shared by training, eval, bench and tests.
+#: Empirically the BEST stage-1 recipe of four full-size training runs
+#: (BASELINE.md records the sweep): compact extent-60 worlds where every
+#: 45 m scan sees most of the world -> strong registration training
+#: (top-1 0.77+). Two documented trade-offs of SYNTHETIC data at this
+#: scale: (a) a 32 m range or denser sampling collapses stage-1 top-1
+#: (token ambiguity); (b) because far-apart scans still share most
+#: visible geometry, the stage-2 overlap label carries almost no signal
+#: and the full-size loop head stays at chance -- loop closure is
+#: proven by the demo-scale model (bench demo block) whose sparse scans
+#: make far pairs disjoint.
+WORLD = dict(n_clusters=300, extent=60.0, pts_per_cluster=800)
+RENDER = dict(sensor_range=45.0, max_points=16384)
 
 
 def _scene_is_current(agent_dir: str, meta: dict) -> bool:
@@ -85,16 +90,14 @@ def build_training_worlds(root: str, frames: int = FRAMES_PER_SCENE):
         agent = os.path.join(f"scene{si}", "0")
         agent_dir = os.path.join(root, agent)
         meta = dict(seed=seed, radius=radius, direction=direction,
-                    frames=frames, pts_per_cluster=PTS_PER_CLUSTER,
-                    **RENDER)
+                    frames=frames, **WORLD, **RENDER)
         if _scene_is_current(agent_dir, meta):
             continue
         # whole scene dir: a stale frame_dis.npy next to the agent would
         # otherwise survive regeneration with wrong distances
         shutil.rmtree(os.path.dirname(agent_dir), ignore_errors=True)
         rng = np.random.default_rng(seed)
-        world = make_world(rng, n_clusters=300, extent=60.0,
-                           pts_per_cluster=PTS_PER_CLUSTER)
+        world = make_world(rng, **WORLD)
         poses = circle_trajectory(frames, radius=radius)
         if direction < 0:
             poses = poses[::-1]
@@ -115,14 +118,12 @@ def build_eval_world(root: str, laps: int = 2, frames_per_lap: int = 48):
 
     agent_dir = os.path.join(root, "scene0", "0")
     meta = dict(seed=0, radius=25.0, laps=laps,
-                frames_per_lap=frames_per_lap,
-                pts_per_cluster=PTS_PER_CLUSTER, **RENDER)
+                frames_per_lap=frames_per_lap, **WORLD, **RENDER)
     if _scene_is_current(agent_dir, meta):
         return
     shutil.rmtree(os.path.dirname(agent_dir), ignore_errors=True)
     rng = np.random.default_rng(0)
-    world = make_world(rng, n_clusters=300, extent=60.0,
-                       pts_per_cluster=PTS_PER_CLUSTER)
+    world = make_world(rng, **WORLD)
     lap = circle_trajectory(frames_per_lap, radius=25.0)
     write_npz_sequence(root, world, lap * laps, rng=rng, **RENDER)
     _stamp_scene(agent_dir, meta)
@@ -145,8 +146,8 @@ TRANSFORMS = {
 }
 
 
-def full_train_args(root: str, out_dir: str, epochs1: int = 16,
-                    epochs2: int = 8, remat: bool = False):
+def full_train_args(root: str, out_dir: str, epochs1: int = 12,
+                    epochs2: int = 4, remat: bool = False):
     from deeppointmap_tpu.config import Config, TPU_DEFAULTS
 
     enc_tree, dec_tree = _model_trees()
@@ -175,7 +176,9 @@ def full_train_args(root: str, out_dir: str, epochs1: int = 16,
                                                kwargs=dict(lr=1e-3)),
                                 scheduler=dict(type="cosine",
                                                kwargs=dict(eta_min=1e-5)))),
-        tpu=dict(remat=remat),
+        # encoder_bf16 pinned: the recorded training recipe keeps f32
+        # feature activations regardless of future TPU_DEFAULTS
+        tpu=dict(remat=remat, encoder_bf16=False),
         infer_tgt=out_dir, weight="", checkpoint="", multi_thread=False,
         num_workers=2, profile=False,
     )
@@ -311,8 +314,8 @@ def main():
     ap.add_argument("--root", default="/tmp/dpm_full_train")
     ap.add_argument("--eval_root", default="/tmp/dpm_full_world2")
     ap.add_argument("--out", default="./log_train/full_size")
-    ap.add_argument("--epochs1", type=int, default=16)
-    ap.add_argument("--epochs2", type=int, default=8)
+    ap.add_argument("--epochs1", type=int, default=12)
+    ap.add_argument("--epochs2", type=int, default=4)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--measure_remat", action="store_true")
     ap.add_argument("--skip_train", action="store_true")

@@ -24,8 +24,7 @@ pytestmark = [
 
 def test_full_size_trained_slam_short_stream(tmp_path):
     sys.path.insert(0, REPO)
-    from scripts.train_full_size import (PTS_PER_CLUSTER, RENDER,
-                                         full_eval_args)
+    from scripts.train_full_size import RENDER, WORLD, full_eval_args
     from deeppointmap_tpu.data.synthetic import (circle_trajectory,
                                                  make_world,
                                                  write_npz_sequence)
@@ -41,8 +40,7 @@ def test_full_size_trained_slam_short_stream(tmp_path):
     # with the SAME shared parameters training/eval/bench use
     root = str(tmp_path / "world")
     rng = np.random.default_rng(0)
-    world = make_world(rng, n_clusters=300, extent=60.0,
-                       pts_per_cluster=PTS_PER_CLUSTER)
+    world = make_world(rng, **WORLD)
     poses = circle_trajectory(48, radius=25.0)[:8]
     agent_dir = write_npz_sequence(root, world, poses, rng=rng, **RENDER)
 
