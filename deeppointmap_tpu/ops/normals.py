@@ -138,6 +138,15 @@ def filter_sweep(pts, valid, k: int, radius: float, grade: str,
                                 center_chunk) + moments
 
     p6 = _p6(pts) if radius > 0 else None
+    if radius > 0 and _fast(grade):
+        # merged-moments operands (see the fast branch in one()): the ten
+        # features [1 | p | p6] split hi/lo so both matmul passes run
+        # single-pass bf16 with EXACT products (8+8 mantissa bits < f32's
+        # 24; the 0/1 mask side is exact in bf16 by construction)
+        feats = jnp.concatenate(
+            [jnp.ones((n, 1), jnp.float32), pts, p6], axis=1)   # (N, 10)
+        f_hi = feats.astype(jnp.bfloat16)
+        f_lo = (feats - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def one(c_block):
         d2 = pairwise_dist2(c_block, pts, grade)
@@ -147,8 +156,21 @@ def filter_sweep(pts, valid, k: int, radius: float, grade: str,
             rank = d2m.astype(jnp.bfloat16) if _fast(grade) else d2m
             out = _neighbor_topk(rank, k, grade)
         if radius > 0:
-            w = (d2m <= radius * radius).astype(jnp.float32)
-            out = out + accumulate_radius_moments(w, pts, p6)
+            if _fast(grade):
+                # ONE fused accumulation instead of cnt-sum + two 3-pass
+                # HIGH matmuls: the f32 mask tile was the sweep's largest
+                # HBM consumer (read 5+ times per chunk); here it lives
+                # once as bf16 and the result is numerically TIGHTER than
+                # HIGH (products exact, only f32 accumulation rounding)
+                w16 = (d2m <= radius * radius).astype(jnp.bfloat16)
+                m = (jnp.dot(w16, f_hi, preferred_element_type=jnp.float32)
+                     + jnp.dot(w16, f_lo,
+                               preferred_element_type=jnp.float32))
+                out = out + (jnp.maximum(m[:, 0], 1.0), m[:, 1:4],
+                             m[:, 4:10])
+            else:
+                w = (d2m <= radius * radius).astype(jnp.float32)
+                out = out + accumulate_radius_moments(w, pts, p6)
         return out
 
     if n <= center_chunk:

@@ -148,7 +148,17 @@ class InferenceEngine:
         import threading
         from collections import OrderedDict
         self._dcache: "OrderedDict" = OrderedDict()
-        self._dcache_cap = int(tpu.get("device_cache_scans", 128))
+        # byte-budgeted LRU (yaml `tpu.device_cache_mb`): an entry-count
+        # cap is the wrong unit when the same cache holds ~134 KB
+        # descriptors and ~256 KB point clouds -- and it silently
+        # capsizes on long streams: once keyframes outnumber the cap,
+        # EVERY loop-scoring event re-materializes + re-uploads hundreds
+        # of candidate descriptors through the tunnel (measured 1-2 s
+        # per event and unbounded host-buffer growth at 289 keyframes,
+        # scripts/scale_run.py). 512 MB holds ~4000 keyframes' loop set.
+        self._dcache_budget = int(
+            float(tpu.get("device_cache_mb", 512)) * 2 ** 20)
+        self._dcache_bytes = 0
         self._dcache_lock = threading.Lock()
 
     def _dev(self, arr, key=None):
@@ -165,12 +175,21 @@ class InferenceEngine:
         self._dcache_put(key, dev)
         return dev
 
+    @staticmethod
+    def _dev_nbytes(dev) -> int:
+        try:
+            return int(dev.nbytes)
+        except (AttributeError, TypeError):
+            return 0
+
     def invalidate_device_cache(self, token=None) -> None:
         with self._dcache_lock:
             if token is None:
                 self._dcache.clear()
+                self._dcache_bytes = 0
             else:
                 for k in [k for k in self._dcache if k[0] == token]:
+                    self._dcache_bytes -= self._dev_nbytes(self._dcache[k])
                     del self._dcache[k]
 
     def _put(self, x, dtype=None):
@@ -575,10 +594,17 @@ class InferenceEngine:
                 desc[0], dvalid[0], pts_valid[0], new_pcd)
 
     def _dcache_put(self, key, dev) -> None:
+        nb = self._dev_nbytes(dev)
         with self._dcache_lock:
+            old = self._dcache.pop(key, None)
+            if old is not None:
+                self._dcache_bytes -= self._dev_nbytes(old)
             self._dcache[key] = dev
-            if len(self._dcache) > self._dcache_cap:
-                self._dcache.popitem(last=False)
+            self._dcache_bytes += nb
+            while self._dcache_bytes > self._dcache_budget \
+                    and len(self._dcache) > 1:
+                _, ev = self._dcache.popitem(last=False)
+                self._dcache_bytes -= self._dev_nbytes(ev)
 
     def _dcache_probe(self, token, names):
         """Device-cache lookup of several per-token arrays (all or
@@ -735,12 +761,16 @@ class InferenceEngine:
         """Loop probabilities for candidate scans referenced by TOKEN:
         cached candidates never re-upload (the host path stacks + ships
         ~134 KB per candidate per loop-check event). members =
-        [(token, key_points_ref, key_valid)]."""
+        [(token, key_points_ref, key_valid)].
+
+        Candidates are scored in chunks of the LARGEST batch bucket:
+        the jit signature takes one array per member, so an unchunked
+        call would compile a fresh executable for every distinct
+        candidate count -- on a long stream (candidate set grows with
+        the keyframe count) that meant a 1-2 s recompile per loop event
+        and unbounded compile-cache growth (scripts/scale_run.py)."""
         b = len(members)
-        bb = _bucket(b, self.batch_buckets)
         descs, kvs, _ = self._members_dev(members)
-        descs += [descs[0]] * (bb - b)
-        kvs += [kvs[0]] * (bb - b)
         dhit = self._dcache_probe(new_token, ("kp_pad", "kv_pad"))
         if dhit is None:
             dd = self._dev(self._materialize(new_desc_ref),
@@ -749,9 +779,17 @@ class InferenceEngine:
                            (new_token, "kv_pad") if new_token else None)
         else:
             dd, dv = dhit
-        probs = jax.device_get(self._loop_members_fn(
-            tuple(descs), tuple(kvs), dd, dv))
-        return np.asarray(probs)[:b]
+        step = self.batch_buckets[-1]
+        futs = []
+        for off in range(0, b, step):     # dispatch all chunks, then get
+            cd, ck = descs[off:off + step], kvs[off:off + step]
+            bb = _bucket(len(cd), self.batch_buckets)
+            cd = cd + [cd[0]] * (bb - len(cd))
+            ck = ck + [ck[0]] * (bb - len(ck))
+            futs.append((len(descs[off:off + step]), self._loop_members_fn(
+                tuple(cd), tuple(ck), dd, dv)))
+        probs = [np.asarray(jax.device_get(f))[:k] for k, f in futs]
+        return np.concatenate(probs) if probs else np.zeros((0,))
 
     def loop_scores(self, src_batch, dst_batch, src_valid, dst_valid
                     ) -> np.ndarray:
@@ -759,6 +797,14 @@ class InferenceEngine:
         bucket (reference batches all candidates at once,
         loop_closure.py:166-174)."""
         b = src_batch.shape[0]
+        step = self.batch_buckets[-1]
+        if b > step:     # chunk: bucket padding can't shrink a batch
+            return np.concatenate([
+                self.loop_scores(src_batch[o:o + step],
+                                 dst_batch[o:o + step],
+                                 src_valid[o:o + step],
+                                 dst_valid[o:o + step])
+                for o in range(0, b, step)])
         bb = _bucket(b, self.batch_buckets)
         if bb != b:
             pad = lambda x: np.concatenate(

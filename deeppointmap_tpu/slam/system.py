@@ -229,7 +229,13 @@ class SlamSystem:
         costs more than the extraction compute itself. The reference's
         separate batching extractor (core.py:135-186) is strictly slower
         here -- measured 13.5 vs 20 scans/s."""
-        self._q_in = queue.Queue()
+        # bounded ingest: MT_Step blocks once MAX_CAP_QUEUE frames are
+        # buffered, so an arbitrarily fast producer (offline file replay)
+        # cannot run the pipeline thousands of frames ahead of the
+        # odometer -- the reference gets the same backpressure from its
+        # dataloader. Safe with the fail-fast guard: a crashed stage
+        # keeps draining its input until EXIT, unblocking the producer.
+        self._q_in = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
         self._q_pre_odo = queue.Queue(maxsize=self.MAX_CAP_QUEUE)
         self._q_odo_map = queue.Queue(maxsize=1)   # backpressure
         self._q_map_bak = queue.Queue(maxsize=self.MAX_CAP_QUEUE)

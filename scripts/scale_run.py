@@ -130,6 +130,13 @@ def main():
         if i >= n:
             break
         system.MT_Step(data)
+        # sensor-paced producer: stay <= 8 frames ahead of the mapping
+        # stage so block timings measure PIPELINE throughput (an
+        # unthrottled file replay would just measure the enqueue rate,
+        # while candidate staleness exploded far beyond any real feed);
+        # _mapped_count counts every consumed frame incl. drops
+        while system._mapped_count < i - 8:
+            time.sleep(0.001)
         if (i + 1) % ns.block == 0:
             dt = time.perf_counter() - t_block
             t_block = time.perf_counter()
@@ -151,6 +158,24 @@ def main():
     pred = np.stack([s.SE3_pred for s in scans])
     gt = np.stack([s.SE3_gt for s in scans])
     ate = float(ate_rmse(pred, gt, align=True))
+
+    # per-frame relative translation error (pred vs gt consecutive
+    # deltas): localizes WHERE tracking jumps, separating registration
+    # failures (isolated spikes) from optimizer shifts (spikes at loop
+    # events)
+    dp = np.linalg.norm(np.einsum(
+        "nij,njk->nik", np.linalg.inv(pred[:-1]), pred[1:])[:, :3, 3]
+        - np.einsum("nij,njk->nik", np.linalg.inv(gt[:-1]),
+                    gt[1:])[:, :3, 3], axis=1)
+    worst = np.argsort(dp)[::-1][:10]
+    print("worst frame-to-frame errors (timestep, m): "
+          + json.dumps([[int(scans[i].timestep), round(float(dp[i]), 3)]
+                        for i in worst]), flush=True)
+    loop_ts = [[int(pg.get_scanpack(e.src_scan_token).timestep),
+                int(pg.get_scanpack(e.dst_scan_token).timestep)]
+               for e in pg.get_all_edges() if e.type == "loop"]
+    print("loop edges (src ts, dst ts): " + json.dumps(loop_ts),
+          flush=True)
 
     if not blocks:   # --frames smaller than one --block
         blocks = [dict(frames=pg.all_frame_num, scans_per_sec=-1.0,

@@ -152,9 +152,10 @@ def test_device_cache_thread_stress(engine):
         d, ov, pv = engine.extract(pts[None], val[None])
         descs.append((d[0], ov[0], pts, pv[0]))
 
-    # tiny cache so eviction churns constantly under contention
-    old_cap = engine._dcache_cap
-    engine._dcache_cap = 4
+    # tiny byte budget (~4 point-cloud entries) so eviction churns
+    # constantly under contention
+    old_cap = engine._dcache_budget
+    engine._dcache_budget = 200_000
     engine.invalidate_device_cache()
     errors = []
     results = [[] for _ in range(4)]
@@ -183,9 +184,11 @@ def test_device_cache_thread_stress(engine):
         t.start()
     for t in threads:
         t.join()
-    engine._dcache_cap = old_cap
+    engine._dcache_budget = old_cap
     assert not errors, errors
-    assert len(engine._dcache) <= 4
+    assert (engine._dcache_bytes <= 200_000
+            or len(engine._dcache) == 1), (engine._dcache_bytes,
+                                           len(engine._dcache))
 
     # cached-path results identical to a cold single-thread rerun
     engine.invalidate_device_cache()

@@ -436,6 +436,36 @@ def test_filter_sweep_matches_separate_passes():
     assert np.min(dots[well]) > 1 - 1e-4, np.min(dots[well])
 
 
+def test_filter_sweep_merged_fast_moments_match_exact(monkeypatch):
+    """The TPU fast-grade merged moment accumulation (ONE bf16-mask
+    matmul over hi/lo-split features, ops/normals.py filter_sweep) equals
+    the exact path's moments: products are exact in f32 (0/1 mask is
+    exact bf16; each feature half carries <= 8 mantissa bits), so only
+    f32 accumulation order differs. Gate patched so the branch runs on
+    CPU; distances stay on the exact path (neighbors._fast unpatched),
+    making membership identical."""
+    import jax.numpy as jnp
+
+    from deeppointmap_tpu.ops import normals as nm
+
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.normal(0, 20.0, (1024, 3)), jnp.float32)
+    valid = jnp.asarray(rng.random(1024) > 0.1)
+    r = 0.9
+
+    cnt_e, s_e, S6_e = nm.filter_sweep(pts, valid, 0, r, "exact",
+                                       center_chunk=256)
+    monkeypatch.setattr(nm, "_fast", lambda g: g == "filter")
+    cnt_m, s_m, S6_m = nm.filter_sweep(pts, valid, 0, r, "filter",
+                                       center_chunk=256)
+
+    np.testing.assert_array_equal(np.asarray(cnt_m), np.asarray(cnt_e))
+    np.testing.assert_allclose(np.asarray(s_m), np.asarray(s_e),
+                               rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(S6_m), np.asarray(S6_e),
+                               rtol=1e-6, atol=5e-2)
+
+
 def test_grades_inert_on_cpu():
     """On the CPU backend (the oracle platform), all neighbor-query
     grades produce IDENTICAL results -- 'fast'/'filter' only change
