@@ -352,6 +352,15 @@ class LoopClosureModule:
         self.last_optim_pose_num = -self.ss.global_optimization_gap - 1
         self.last_loop_token = -1
         self.required_optim = False
+        # beyond-reference: `loop_detection_attempt_gap` (keyframes)
+        # rate-limits ALL loop attempts, not just post-success ones --
+        # the reference's loop_detection_gap only arms after a VALIDATED
+        # loop (loop_closure.py:57,68), so failed attempts (scoring +
+        # map-vs-map registration) can run every frame and, on a single
+        # chip, serialize against the odometer. Default 0 = reference
+        # behavior.
+        self.attempt_gap = int(self.ss.get("loop_detection_attempt_gap", 0))
+        self.last_attempt_pose_num = -self.attempt_gap - 1
 
     def process(self, new_scan: ScanPack,
                 targets: Literal["self", "others", "all"] = "all"):
@@ -362,6 +371,10 @@ class LoopClosureModule:
             return []
         if pg.key_frame_num - self.last_loop_pose_num <= ss.loop_detection_gap:
             return []
+        if (pg.key_frame_num - self.last_attempt_pose_num
+                <= self.attempt_gap):
+            return []
+        self.last_attempt_pose_num = pg.key_frame_num
         candidates = self.loop_closure_detection(new_scan, targets)
         edges = self.loop_closure_registration(new_scan, candidates)
         validated = self.loop_closure_verification(edges)
