@@ -26,6 +26,11 @@ from deeppointmap_tpu.ops.neighbors import (_fast, _neighbor_topk,
 #: 16.8 ms -> 19.0 ms). Flip on for accuracy-critical offline use.
 USE_PALLAS_MOMENTS = False
 
+#: A/B switch for the merged fast-grade moment accumulation (ONE
+#: bf16-mask matmul over hi/lo-split features vs cnt-sum + two 3-pass
+#: HIGH matmuls). Default ON; the off position exists for profiling.
+USE_MERGED_MOMENTS = True
+
 
 def smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue for symmetric (..., 3, 3)
@@ -138,7 +143,8 @@ def filter_sweep(pts, valid, k: int, radius: float, grade: str,
                                 center_chunk) + moments
 
     p6 = _p6(pts) if radius > 0 else None
-    if radius > 0 and _fast(grade):
+    merged = _fast(grade) and USE_MERGED_MOMENTS
+    if radius > 0 and merged:
         # merged-moments operands (see the fast branch in one()): the ten
         # features [1 | p | p6] split hi/lo so both matmul passes run
         # single-pass bf16 with EXACT products (8+8 mantissa bits < f32's
@@ -156,7 +162,7 @@ def filter_sweep(pts, valid, k: int, radius: float, grade: str,
             rank = d2m.astype(jnp.bfloat16) if _fast(grade) else d2m
             out = _neighbor_topk(rank, k, grade)
         if radius > 0:
-            if _fast(grade):
+            if merged:
                 # ONE fused accumulation instead of cnt-sum + two 3-pass
                 # HIGH matmuls: the f32 mask tile was the sweep's largest
                 # HBM consumer (read 5+ times per chunk); here it lives

@@ -116,17 +116,28 @@ def main() -> None:
 
     rows.append(("device preprocess chain", timeit(prep, trials)))
 
-    # preprocess A/B: measure the non-default moments path too (XLA
-    # shared-distance sweep vs fused Pallas kernel, ops/normals.py)
+    # preprocess A/B: measure the non-default moments paths too (split
+    # vs merged XLA accumulation vs fused Pallas kernel, ops/normals.py).
+    # The FUSED-step deltas below are the decision numbers; these
+    # standalone rows carry the dispatch overhead.
     from deeppointmap_tpu.ops import normals as _normals
 
-    default_moments = _normals.USE_PALLAS_MOMENTS
-    _normals.USE_PALLAS_MOMENTS = not default_moments
-    alt = "pallas" if _normals.USE_PALLAS_MOMENTS else "XLA"
-    pre_alt = jax.jit(lambda p, v: engine._maybe_preprocess(p, v))
-    rows.append((f"device preprocess ({alt} moments)",
-                 timeit(lambda: pre_alt(pd, vd), trials)))
-    _normals.USE_PALLAS_MOMENTS = default_moments
+    for flag, name in (("USE_PALLAS_MOMENTS", "pallas"),
+                       ("USE_MERGED_MOMENTS", "split-HIGH")):
+        default = getattr(_normals, flag)
+        setattr(_normals, flag, not default)
+        alt = name if flag != "USE_MERGED_MOMENTS" or default else "merged"
+        pre_alt = jax.jit(lambda p, v: engine._maybe_preprocess(p, v))
+        rows.append((f"device preprocess ({alt} moments)",
+                     timeit(lambda: pre_alt(pd, vd), trials)))
+        fused_alt = jax.jit(lambda *a, **k: engine._odometry_impl(*a, **k),
+                            static_argnames=("num_pairs",))
+        rows.append((f"fused odometry ({alt} moments)",
+                     timeit(lambda: fused_alt(
+                         pd, vd, cd[0], cv[0], cand_pcd, cand_pv,
+                         num_pairs=npairs,
+                         num_pairs_actual=jnp.int32(npairs)), trials)))
+        setattr(_normals, flag, default)
 
     # encoder alone on preprocessed points
     pn, pvn = pre(pd, vd)
