@@ -62,13 +62,43 @@ def circle_trajectory(n: int, radius: float = 25.0) -> List[np.ndarray]:
 def render_scan(world: np.ndarray, pose: np.ndarray,
                 sensor_range: float = 35.0, noise: float = 0.02,
                 max_points: int = 4000,
-                rng: np.random.Generator | None = None) -> np.ndarray:
-    """World points within range, transformed into the scan frame."""
+                rng: np.random.Generator | None = None,
+                occlusion_bins: int = 0,
+                occlusion_depth: float = 0.6) -> np.ndarray:
+    """World points within range, transformed into the scan frame.
+
+    `occlusion_bins` > 0 enables first-return occlusion: points are
+    binned by (azimuth, elevation) from the sensor into a spherical
+    z-buffer of `occlusion_bins` azimuth x `occlusion_bins // 16`
+    elevation cells, and only points within `occlusion_depth` meters of
+    the nearest return in their cell survive -- like a LiDAR, a wall
+    shadows everything behind it. This makes VISIBILITY viewpoint-
+    dependent: far-apart poses see different subsets of the same world,
+    which is what gives the stage-2 overlap/loop label its signal
+    (without it, every scan of a compact world sees most of the world
+    and the label is uninformative -- BASELINE.md round-3 notes)."""
     rng = rng or np.random.default_rng(0)
     t = pose[:3, 3]
     d = np.linalg.norm(world - t, axis=1)
     near = world[d < sensor_range]
     local = (near - t) @ pose[:3, :3]     # R^T (p - t)
+    if occlusion_bins > 0 and local.shape[0] > 0:
+        r = np.linalg.norm(local, axis=1)
+        az = np.arctan2(local[:, 1], local[:, 0])          # [-pi, pi)
+        el = np.arcsin(np.clip(local[:, 2] / np.maximum(r, 1e-9), -1, 1))
+        n_az = int(occlusion_bins)
+        n_el = max(int(occlusion_bins) // 16, 8)
+        ai = np.clip(((az + np.pi) / (2 * np.pi) * n_az).astype(np.int64),
+                     0, n_az - 1)
+        # elevation span of a ground vehicle sensor: steep up-looks are
+        # rare; clip to [-30 deg, +45 deg]
+        lo, hi = -np.pi / 6, np.pi / 4
+        ei = np.clip(((el - lo) / (hi - lo) * n_el).astype(np.int64),
+                     0, n_el - 1)
+        key = ai * n_el + ei
+        nearest = np.full(n_az * n_el, np.inf, np.float64)
+        np.minimum.at(nearest, key, r)
+        local = local[r <= nearest[key] + occlusion_depth]
     if local.shape[0] > max_points:
         local = local[rng.choice(local.shape[0], max_points, replace=False)]
     return (local + rng.normal(0, noise, local.shape)).astype(np.float32)

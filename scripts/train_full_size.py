@@ -54,7 +54,12 @@ FRAMES_PER_SCENE = 96
 #: proven by the demo-scale model (bench demo block) whose sparse scans
 #: make far pairs disjoint.
 WORLD = dict(n_clusters=300, extent=60.0, pts_per_cluster=800)
-RENDER = dict(sensor_range=45.0, max_points=16384)
+#: occlusion_bins enables the renderer's first-return spherical
+#: z-buffer (data/synthetic.py): visibility becomes viewpoint-dependent
+#: (measured world-frame overlap: near pairs 0.75, across-world pairs
+#: 0.04 -- vs 0.73/0.35 without), which is what gives the stage-2
+#: overlap/loop label a learnable signal at full sensor range.
+RENDER = dict(sensor_range=45.0, max_points=16384, occlusion_bins=512)
 
 
 def _scene_is_current(agent_dir: str, meta: dict) -> bool:
@@ -213,7 +218,11 @@ def full_eval_args(root: str, out_dir: str):
             enable_s2m_adjust=True, registration_sample_mapping=0.5,
             enable_loop_closure=True, loop_detection_gap=0,
             loop_detection_transaction_gap=10.0,
-            loop_detection_trust_range=15,
+            # reference production value (DeepPointMap_B_Main yaml:86);
+            # trust2 = 30 keyframes must stay below the ~40-keyframe lap
+            # or same-heading revisits never pass the rotation/
+            # translation minima (scale_run lesson, BASELINE.md)
+            loop_detection_trust_range=3,
             loop_detection_gnss_distance=-1,
             loop_detection_pred_distance=100.0,
             loop_detection_rotation_min=30.0,

@@ -110,3 +110,49 @@ def test_npz_image_uvd_fields(tmp_path):
     scan.keep(np.arange(10))
     assert scan.uvd.shape == (10, 3)
     assert scan.image.shape == (8, 12, 3)  # image is not per-point
+
+
+def test_render_scan_occlusion_shadows_and_overlap():
+    """First-return occlusion (data/synthetic.py render_scan): a wall
+    culls points behind it in the same spherical z-buffer cells, and
+    scan overlap becomes viewpoint-dependent (near pairs keep overlap,
+    far pairs lose it) -- the property the stage-2 loop label needs."""
+    import numpy as np
+    from deeppointmap_tpu.data.synthetic import (circle_trajectory,
+                                                 make_world, render_scan)
+
+    # wall at x=5 spanning z 0..3; a lone point behind it at x=15
+    ys = np.linspace(-1, 1, 40)
+    zs = np.linspace(0.0, 3.0, 30)
+    wall = np.stack(np.meshgrid(ys, zs), -1).reshape(-1, 2)
+    world = np.concatenate(
+        [np.column_stack([np.full(len(wall), 5.0), wall[:, 0], wall[:, 1]]),
+         np.array([[15.0, 0.0, 1.0]])]).astype(np.float32)
+    pose = np.eye(4)
+    plain = render_scan(world, pose, sensor_range=30, noise=0.0,
+                        max_points=4000)
+    occ = render_scan(world, pose, sensor_range=30, noise=0.0,
+                      max_points=4000, occlusion_bins=256)
+    assert any(np.linalg.norm(p - [15, 0, 1]) < 0.1 for p in plain)
+    assert not any(np.linalg.norm(p - [15, 0, 1]) < 0.1 for p in occ)
+    assert len(occ) > 0.9 * len(wall)      # the wall itself survives
+
+    # overlap statistics on a full synthetic world
+    rng = np.random.default_rng(0)
+    world = make_world(rng, n_clusters=120, extent=60.0,
+                       pts_per_cluster=300)
+    poses = circle_trajectory(48, radius=25.0)
+
+    def world_frame(scan, pose):
+        return scan @ pose[:3, :3].T + pose[:3, 3]
+
+    def overlap(i, j):
+        kw = dict(sensor_range=45.0, max_points=6000, noise=0.0,
+                  occlusion_bins=512, rng=np.random.default_rng(1))
+        a = world_frame(render_scan(world, poses[i], **kw), poses[i])
+        b = world_frame(render_scan(world, poses[j], **kw), poses[j])
+        d2 = ((a[:, None, :] - b[None, :500, :]) ** 2).sum(-1)
+        return (d2.min(1) < 0.5 ** 2).mean()
+
+    near, far = overlap(0, 2), overlap(0, 24)
+    assert near > 2.5 * far, (near, far)

@@ -368,3 +368,46 @@ def test_loop_scores_by_token_matches_host(engine):
         [(s["token"], s["desc"], s["kv"]) for s in cands],
         new["desc"], new["kv"], new_token=new["token"])
     np.testing.assert_allclose(probs2, probs_dev, atol=1e-7)
+
+
+def test_loop_scores_by_token_chunked_bounded_compiles(engine):
+    """Loop scoring chunks candidate batches at the largest batch
+    bucket: probabilities must be independent of how the batch splits,
+    and the jit must NOT grow a new signature per candidate count
+    (regression for the long-stream recompile-per-event defect)."""
+    rng = np.random.default_rng(3)
+    pad = 4096
+    pts, val = _cloud(rng, 1200, pad)
+    d0, _, _ = engine.extract(pts[None], val[None])
+    kt, ch = d0.shape[1:]
+    assert kt == engine.n_tokens
+    c = rng.normal(0, 0.5, (kt, ch)).astype(np.float32)
+
+    def member(tok):
+        d = (c + rng.normal(0, 0.05, c.shape)).astype(np.float32)
+        kv = np.ones((kt,), bool)
+        return (tok, d, kv)
+
+    new_d, new_kv = member(0)[1], np.ones((kt,), bool)
+    step = engine.batch_buckets[-1]
+    n = step + 7                       # forces a 2-chunk split
+    members = [member(100 + i) for i in range(n)]
+
+    probs = engine.loop_scores_by_token(members, new_d, new_kv,
+                                        new_token=999)
+    assert probs.shape == (n,)
+    # equality with per-chunk direct calls (same split points)
+    p1 = engine.loop_scores_by_token(members[:step], new_d, new_kv,
+                                     new_token=999)
+    p2 = engine.loop_scores_by_token(members[step:], new_d, new_kv,
+                                     new_token=999)
+    np.testing.assert_allclose(probs, np.concatenate([p1, p2]),
+                               rtol=1e-6, atol=1e-6)
+
+    for extra in (1, 3, 5, 9, 13, 20, 27):    # many counts, few buckets
+        engine.loop_scores_by_token(members[:step + extra], new_d, new_kv,
+                                    new_token=999)
+    # signatures bounded by the BUCKET SET, not the candidate counts
+    # (pre-fix: one fresh executable per distinct count)
+    assert (engine._loop_members_fn._cache_size()
+            <= len(engine.batch_buckets))
