@@ -101,6 +101,9 @@ def test_tcp_multiagent_matches_inproc(seq, tmp_path_factory):
     # --- multi-process over TCP: coordinator spawns 3 agent processes
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)   # CPU children must not dial the relay
     proc = subprocess.run(
         [sys.executable, "-m", "deeppointmap_tpu.pipeline.infer_multiagents",
          "--yaml_file", str(cfg_tcp), "--transport", "tcp"],
