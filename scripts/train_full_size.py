@@ -54,12 +54,19 @@ FRAMES_PER_SCENE = 96
 #: proven by the demo-scale model (bench demo block) whose sparse scans
 #: make far pairs disjoint.
 WORLD = dict(n_clusters=300, extent=60.0, pts_per_cluster=800)
-#: occlusion_bins enables the renderer's first-return spherical
-#: z-buffer (data/synthetic.py): visibility becomes viewpoint-dependent
+RENDER = dict(sensor_range=45.0, max_points=16384)
+#: --occlusion adds the renderer's first-return spherical z-buffer
+#: (data/synthetic.py): visibility becomes viewpoint-dependent
 #: (measured world-frame overlap: near pairs 0.75, across-world pairs
 #: 0.04 -- vs 0.73/0.35 without), which is what gives the stage-2
-#: overlap/loop label a learnable signal at full sensor range.
-RENDER = dict(sensor_range=45.0, max_points=16384, occlusion_bins=512)
+#: overlap/loop label a learnable signal at full sensor range. The
+#: occluded task is HARDER for stage 1 (top-1 ~0.20 at the 12-epoch
+#: budget vs 0.77 un-occluded; still climbing steeply at cutoff), so
+#: occlusion training needs the longer --epochs1 24 --epochs2 8 budget
+#: (BASELINE.md round-3 notes). The committed artifact is the
+#: un-occluded recipe until an occluded run matches its registration
+#: quality.
+OCCLUSION_RENDER = dict(occlusion_bins=512)
 
 
 def _scene_is_current(agent_dir: str, meta: dict) -> bool:
@@ -329,8 +336,14 @@ def main():
     ap.add_argument("--measure_remat", action="store_true")
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--skip_eval", action="store_true")
+    ap.add_argument("--occlusion", action="store_true",
+                    help="render worlds with first-return occlusion "
+                         "(stage-2 loop signal; needs the longer epoch "
+                         "budget -- see OCCLUSION_RENDER note)")
     ns = ap.parse_args()
 
+    if ns.occlusion:
+        RENDER.update(OCCLUSION_RENDER)
     build_training_worlds(ns.root)
     os.makedirs(ns.out, exist_ok=True)
 
