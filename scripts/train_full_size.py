@@ -336,6 +336,9 @@ def main():
     ap.add_argument("--measure_remat", action="store_true")
     ap.add_argument("--skip_train", action="store_true")
     ap.add_argument("--skip_eval", action="store_true")
+    ap.add_argument("--weights_out", default=WEIGHTS,
+                    help="weights artifact path (default: the committed "
+                         "artifact; point elsewhere for experiments)")
     ap.add_argument("--occlusion", action="store_true",
                     help="render worlds with first-return occlusion "
                          "(stage-2 loop signal; needs the longer epoch "
@@ -365,13 +368,13 @@ def main():
         trainer.run()
         print(f"training done in {(time.time() - t0) / 60:.1f} min",
               flush=True)
-        os.makedirs(os.path.dirname(WEIGHTS), exist_ok=True)
-        save_weights(WEIGHTS, trainer.state.enc_params,
+        os.makedirs(os.path.dirname(ns.weights_out), exist_ok=True)
+        save_weights(ns.weights_out, trainer.state.enc_params,
                      trainer.state.dec_params)
-        print(f"weights -> {WEIGHTS}", flush=True)
+        print(f"weights -> {ns.weights_out}", flush=True)
 
     if not ns.skip_eval:
-        res = evaluate(WEIGHTS, ns.out, ns.eval_root)
+        res = evaluate(ns.weights_out, ns.out, ns.eval_root)
         print(json.dumps(res), flush=True)
 
 
