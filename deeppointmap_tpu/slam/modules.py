@@ -371,10 +371,11 @@ class LoopClosureModule:
             return []
         if pg.key_frame_num - self.last_loop_pose_num <= ss.loop_detection_gap:
             return []
-        if (pg.key_frame_num - self.last_attempt_pose_num
-                <= self.attempt_gap):
-            return []
-        self.last_attempt_pose_num = pg.key_frame_num
+        if self.attempt_gap > 0:     # 0 = reference: attempt every call
+            if (pg.key_frame_num - self.last_attempt_pose_num
+                    <= self.attempt_gap):
+                return []
+            self.last_attempt_pose_num = pg.key_frame_num
         candidates = self.loop_closure_detection(new_scan, targets)
         edges = self.loop_closure_registration(new_scan, candidates)
         validated = self.loop_closure_verification(edges)

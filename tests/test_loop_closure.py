@@ -142,3 +142,42 @@ def test_verification_rejects_inconsistent():
                          se3m.inv(ok_T), np.eye(6), "loop",
                          confidence=0.2, rmse=0.05)
     assert loop.loop_closure_verification([weak]) == []
+
+
+def test_attempt_gap_rate_limits_failed_attempts():
+    """`loop_detection_attempt_gap` (beyond-reference knob) suppresses
+    loop ATTEMPTS for N keyframes after any attempt -- the reference's
+    loop_detection_gap only arms after a VALIDATED loop, so failed
+    attempts otherwise run every frame and serialize against the
+    odometer on a single chip."""
+    pg, gt, toks = _circle_graph_slam()
+    engine = StubEngine(gt)
+
+    class CountingLoop(LoopClosureModule):
+        calls = 0
+
+        def loop_closure_detection(self, new_scan, targets="all"):
+            CountingLoop.calls += 1
+            return []      # every attempt fails to find candidates
+
+    args = Config({k: dict(v) if isinstance(v, dict) else v
+                   for k, v in ARGS.items()})
+    args.slam_system["loop_detection_attempt_gap"] = 3
+    loop = CountingLoop(args, Config(agent_id=1), pg, engine)
+
+    last = pg.get_scanpack(toks[-1])
+    for _ in range(8):           # same keyframe count: only 1 attempt
+        loop.process(last, targets="self")
+    assert CountingLoop.calls == 1
+
+    # advancing the keyframe count past the gap re-arms detection
+    pg.key_frame_num += 4
+    loop.process(last, targets="self")
+    assert CountingLoop.calls == 2
+
+    # default 0 keeps reference behavior: an attempt per process() call
+    CountingLoop.calls = 0
+    loop0 = CountingLoop(ARGS, Config(agent_id=1), pg, engine)
+    for _ in range(3):
+        loop0.process(last, targets="self")
+    assert CountingLoop.calls == 3
