@@ -31,6 +31,13 @@ USE_PALLAS_MOMENTS = False
 #: HIGH matmuls). Default ON; the off position exists for profiling.
 USE_MERGED_MOMENTS = True
 
+#: A/B switch for the FULLY fused sweep (ops/pallas_sweep.py): distance
+#: pass + top-k candidates + radius moments in one Pallas kernel, no
+#: (C, N) HBM tile between them, and the moments at the Pallas kernel's
+#: HIGHEST accuracy. OFF until TPU-validated (flip after a real-chip
+#: oracle + profile run; the XLA merged sweep below stays the fallback).
+USE_PALLAS_SWEEP = False
+
 
 def smallest_eigvec_3x3(C: jnp.ndarray) -> jnp.ndarray:
     """Unit eigenvector of the smallest eigenvalue for symmetric (..., 3, 3)
@@ -128,6 +135,13 @@ def filter_sweep(pts, valid, k: int, radius: float, grade: str,
     assert k > 0 or radius > 0, "filter_sweep with nothing to compute"
     n = pts.shape[0]
     pts = pts.astype(jnp.float32)
+
+    if k > 0 and _fast(grade) and USE_PALLAS_SWEEP:
+        from deeppointmap_tpu.ops import pallas_sweep
+
+        if pallas_sweep.supported(n) and k <= 128:
+            return pallas_sweep.fused_sweep_pallas(
+                pts, valid, k, radius if radius > 0 else 0.0)
 
     if radius > 0 and _fast(grade) and USE_PALLAS_MOMENTS:
         # fused Pallas moments: the (C, N) membership mask never touches

@@ -88,18 +88,18 @@ def _spawn_agent_procs(args, port: int):
     backend by default: this box's TPU tunnel is single-client and the
     cloud process owns it (set tpu.agent_platform to override, e.g. on a
     pod where every process gets its own chips)."""
-    env = dict(os.environ)
     platform = str((args.get("tpu") or {}).get("agent_platform", "cpu"))
-    env["JAX_PLATFORMS"] = platform
     if platform == "cpu":
         # CPU-forced agents must not touch the single-client device
         # link AT ALL -- the PJRT plugin's sitecustomize registration
         # dials the relay at interpreter start, so a flapping link can
-        # hang the child before JAX_PLATFORMS is even consulted. Strip
-        # plugin site dirs from the child's import path.
-        env["PYTHONPATH"] = os.pathsep.join(
-            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-            if p and "axon" not in p)
+        # hang the child before JAX_PLATFORMS is even consulted.
+        from deeppointmap_tpu.utils.childenv import cpu_child_env
+
+        env = cpu_child_env(platform=platform)
+    else:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = platform
     procs = []
     for i in range(1, AGENT_NUMBER + 1):
         cmd = [sys.executable, "-m",

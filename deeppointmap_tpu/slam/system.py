@@ -339,7 +339,7 @@ class SlamSystem:
         tpu_cfg = self.args.get("tpu") or {}
         depth = int(tpu_cfg.get("odometer_pipeline_depth", 1))
         fb_on = bool(tpu_cfg.get("staleness_fallback", True))
-        fb_frac = float(tpu_cfg.get("staleness_fallback_frac", 0.5))
+        fb_frac = float(tpu_cfg.get("staleness_fallback_frac", 0.9))
         sent = 0       # frames handed downstream (matched by _mapped_count)
         pending = []  # FIFO of (resolver, pc, R, T, cand, extras, ts, perf_t)
 

@@ -53,19 +53,21 @@ def main():
     agent.set_independent(make_infer_transform(args))
 
     # positions for labeling
-    pos, descs, valids = [], {}, {}
+    pos, raw, descs = [], {}, {}
     for i in range(len(agent)):
         pc, R, T, v, orig = agent[i]
         pos.append(np.asarray(T).reshape(3))
-        descs[i] = (pc, v)
+        raw[i] = (pc, v)
     pos = np.stack(pos)
 
     rng = np.random.default_rng(0)
     n_f = len(agent)
 
     def desc_of(i):
-        if isinstance(descs[i], tuple):
-            pc, v = descs[i]
+        # raw inputs and extracted descriptors live in SEPARATE dicts so a
+        # cache hit can never be mistaken for an unextracted frame
+        if i not in descs:
+            pc, v = raw[i]
             d, dv, pv = engine.extract(pc, v)
             descs[i] = (np.asarray(d[0]), np.asarray(dv[0]))
         return descs[i]

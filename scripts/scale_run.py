@@ -82,20 +82,18 @@ def build_world(root: str, n_frames: int):
           flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=1200)
-    ap.add_argument("--block", type=int, default=100)
-    ap.add_argument("--root", default="/tmp/dpm_scale_world")
-    ap.add_argument("--out", default="/tmp/dpm_scale_out")
-    ap.add_argument("--retain_pcd", action="store_true",
-                    help="keep non-keyframe full_pcd (reference parity "
-                         "mode; default drops it to bound memory)")
-    ap.add_argument("--json_out", default="")
-    ns = ap.parse_args()
+def run_scale(frames: int = 1200, block: int = 100,
+              root: str = "/tmp/dpm_scale_world",
+              out: str = "/tmp/dpm_scale_out",
+              retain_pcd: bool = False, quiet: bool = False) -> dict:
+    """Stream `frames` multi-lap frames through the full MT SLAM system
+    and return the summary dict (also used by bench.py's scale block)."""
+    build_world(root, frames)
+    os.makedirs(out, exist_ok=True)
 
-    build_world(ns.root, ns.frames)
-    os.makedirs(ns.out, exist_ok=True)
+    def say(msg):
+        if not quiet:
+            print(msg, flush=True)
 
     from scripts.train_synthetic_demo import demo_args
     from deeppointmap_tpu.data.dataset import BasicAgent
@@ -107,8 +105,8 @@ def main():
     from deeppointmap_tpu.slam.system import SlamSystem
     from deeppointmap_tpu.utils.evaluation import ate_rmse
 
-    args = demo_args(ns.root, ns.out)
-    args.infer_src = [os.path.join(ns.root, "scene0", "0")]
+    args = demo_args(root, out)
+    args.infer_src = [os.path.join(root, "scene0", "0")]
     # Loop/drop tuning follows the reference's production philosophy
     # (configs/infer/DeepPointMap_B_Main_SemanticKITTI.yaml:72-91: tight
     # drop gates + a SMALL trust zone, trust_range 3), scaled to this
@@ -126,7 +124,7 @@ def main():
     # the single chip with the odometer): ~40+ keyframes/lap still gives
     # 10+ attempts per revisit lap
     args.slam_system.loop_detection_attempt_gap = 3
-    args.tpu["retain_nonkeyframe_pcd"] = bool(ns.retain_pcd)
+    args.tpu["retain_nonkeyframe_pcd"] = bool(retain_pcd)
 
     wpath = os.path.join(REPO, "artifacts/synthetic_demo/"
                                "weights_final.msgpack")
@@ -135,12 +133,12 @@ def main():
                              preprocess_cfg=device_preprocess_config(args))
     agent = BasicAgent(root=args.infer_src[0], reader="auto")
     agent.set_independent(make_infer_transform(args))
-    system = SlamSystem(args, engine, system_id=1, logger_dir=ns.out)
+    system = SlamSystem(args, engine, system_id=1, logger_dir=out)
 
     system.MT_Init()
     blocks = []
     t_block = time.perf_counter()
-    n = min(len(agent), ns.frames)
+    n = min(len(agent), frames)
     for i, data in enumerate(prefetch(agent)):
         if i >= n:
             break
@@ -152,19 +150,19 @@ def main():
         # _mapped_count counts every consumed frame incl. drops
         while system._mapped_count < i - 8:
             time.sleep(0.001)
-        if (i + 1) % ns.block == 0:
+        if (i + 1) % block == 0:
             dt = time.perf_counter() - t_block
             t_block = time.perf_counter()
             stages = {k: round(v[0] * 1000, 2)
                       for k, v in system.result_logger.log_time(
-                          ns.block).items()}
+                          block).items()}
             pg = system.posegraph_map
-            blk = dict(frames=i + 1, scans_per_sec=round(ns.block / dt, 2),
+            blk = dict(frames=i + 1, scans_per_sec=round(block / dt, 2),
                        rss_mb=round(rss_mb(), 1),
                        keyframes=pg.key_frame_num,
                        loop_edges=pg.loop_edge_num, stages_ms=stages)
             blocks.append(blk)
-            print(json.dumps(blk), flush=True)
+            say(json.dumps(blk))
     system.MT_Done()
     system.MT_Wait()
 
@@ -196,14 +194,12 @@ def main():
             if e is not None and e.confidence is not None else None,
             cand_ts=int(pg.get_scanpack(e.src_scan_token).timestep)
             if e is not None else None))
-    print("worst frame-to-frame errors: " + json.dumps(diag), flush=True)
-    print(f"staleness fallback transitions: {system._staleness_events}",
-          flush=True)
+    say("worst frame-to-frame errors: " + json.dumps(diag))
+    say(f"staleness fallback transitions: {system._staleness_events}")
     loop_ts = [[int(pg.get_scanpack(e.src_scan_token).timestep),
                 int(pg.get_scanpack(e.dst_scan_token).timestep)]
                for e in pg.get_all_edges() if e.type == "loop"]
-    print("loop edges (src ts, dst ts): " + json.dumps(loop_ts),
-          flush=True)
+    say("loop edges (src ts, dst ts): " + json.dumps(loop_ts))
 
     if not blocks:   # --frames smaller than one --block
         blocks = [dict(frames=pg.all_frame_num, scans_per_sec=-1.0,
@@ -214,13 +210,30 @@ def main():
     summary = dict(
         frames=pg.all_frame_num, keyframes=pg.key_frame_num,
         loop_edges=pg.loop_edge_num, ate_m=round(ate, 4),
-        retain_nonkeyframe_pcd=bool(ns.retain_pcd),
+        retain_nonkeyframe_pcd=bool(retain_pcd),
         scans_per_sec_first_block=first["scans_per_sec"],
         scans_per_sec_last_block=last["scans_per_sec"],
         rss_first_block_mb=first["rss_mb"], rss_last_block_mb=last["rss_mb"],
         blocks=blocks)
-    print("SUMMARY " + json.dumps(
-        {k: v for k, v in summary.items() if k != "blocks"}), flush=True)
+    say("SUMMARY " + json.dumps(
+        {k: v for k, v in summary.items() if k != "blocks"}))
+    return summary
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1200)
+    ap.add_argument("--block", type=int, default=100)
+    ap.add_argument("--root", default="/tmp/dpm_scale_world")
+    ap.add_argument("--out", default="/tmp/dpm_scale_out")
+    ap.add_argument("--retain_pcd", action="store_true",
+                    help="keep non-keyframe full_pcd (reference parity "
+                         "mode; default drops it to bound memory)")
+    ap.add_argument("--json_out", default="")
+    ns = ap.parse_args()
+
+    summary = run_scale(frames=ns.frames, block=ns.block, root=ns.root,
+                        out=ns.out, retain_pcd=ns.retain_pcd)
     if ns.json_out:
         with open(ns.json_out, "w") as f:
             json.dump(summary, f, indent=1)

@@ -99,11 +99,9 @@ def test_tcp_multiagent_matches_inproc(seq, tmp_path_factory):
         yaml.safe_dump(make_cfg(seq, out_inp), f, sort_keys=False)
 
     # --- multi-process over TCP: coordinator spawns 3 agent processes
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = os.pathsep.join(
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon" not in p)   # CPU children must not dial the relay
+    from deeppointmap_tpu.utils.childenv import cpu_child_env
+
+    env = cpu_child_env(platform="cpu")   # children must not dial the relay
     proc = subprocess.run(
         [sys.executable, "-m", "deeppointmap_tpu.pipeline.infer_multiagents",
          "--yaml_file", str(cfg_tcp), "--transport", "tcp"],

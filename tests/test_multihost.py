@@ -31,10 +31,9 @@ def _free_port() -> int:
 
 
 def _spawn(pid, port, root, log, seed):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = os.pathsep.join(
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon" not in p)   # CPU workers must not dial the relay
+    from deeppointmap_tpu.utils.childenv import cpu_child_env
+
+    env = cpu_child_env()   # CPU workers must not dial the relay
     # the worker sets its own JAX env before importing jax; drop the
     # pytest conftest's 8-device flag so it can't leak through
     env.pop("XLA_FLAGS", None)

@@ -122,9 +122,29 @@ def test_trainer_two_stages(setup):
     trainer.run()
     assert trainer.step >= 4  # 2 stage-1 + 2 stage-2 steps
     assert trainer.stage == 2
-    # metrics were written
-    assert os.path.getsize(os.path.join(trainer.log_dir,
-                                        "metrics.jsonl")) > 0
+    # metrics contract: metrics.jsonl is the one guaranteed observability
+    # sink (TensorBoard is optional/torch-gated), so its per-stage key
+    # schema is pinned here — a key rename must fail this test.
+    # Scalars match the reference's per-stage logs
+    # (reference: pipeline/modules/model_pipeline.py:126-133, 175-180).
+    import json
+
+    with open(os.path.join(trainer.log_dir, "metrics.jsonl")) as fh:
+        lines = [json.loads(ln) for ln in fh if ln.strip()]
+    assert lines, "metrics.jsonl is empty"
+    common = {"epoch", "step", "stage", "sec_per_step"}
+    stage_keys = {
+        1: common | {"loss", "loss_pairing", "loss_coarse", "loss_offset",
+                     "top1_acc"},
+        2: common | {"loss", "acc", "precision", "recall", "fp"},
+    }
+    seen_stages = set()
+    for rec in lines:
+        stage = int(rec["stage"])
+        seen_stages.add(stage)
+        assert set(rec) == stage_keys[stage], (stage, sorted(rec))
+        assert all(isinstance(v, (int, float)) for v in rec.values()), rec
+    assert seen_stages == {1, 2}, seen_stages
     # final weights saved and loadable
     wpath = os.path.join(trainer.log_dir, "weights_final.msgpack")
     assert os.path.exists(wpath)
