@@ -23,8 +23,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.float32(1e9)
+# NumPy scalar, not jnp: a module-level jnp constant would initialize the
+# device backend at import time (fatal when the TPU link is down and a
+# CPU-only caller merely imports this module).
+_BIG = np.float32(1e9)
 
 #: When True and running on TPU, neighbor top-k uses the hardware
 #: PartialReduce op (jax.lax.approx_max_k, recall ~0.95) instead of a full

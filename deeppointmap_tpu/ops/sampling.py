@@ -21,9 +21,12 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_NEG = jnp.float32(-1.0)
-_INF = jnp.float32(3.4e38)
+# NumPy scalars, not jnp: module-level jnp constants initialize the device
+# backend at import time, which is fatal when the TPU link is down.
+_NEG = np.float32(-1.0)
+_INF = np.float32(3.4e38)
 
 
 def farthest_point_sampling(
