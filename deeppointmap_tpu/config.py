@@ -141,6 +141,13 @@ TPU_DEFAULTS = Config(
     # recall 0.9 -- accuracy-neutral for statistics and ~2x cheaper
     # (PARITY.md). Also accepts 'fast' (recall 0.95) or 'exact'.
     filter_grade="filter",
+    # serve the encoder's STAGE-1 hybrid grouping from the device filter
+    # chain's shared distance sweep (widened top-k candidates) instead of
+    # a fresh (npoint0, P) distance pass -- drops the hot path's largest
+    # remaining HBM tile. Only takes effect with device_preprocess and
+    # querier='hybrid'. Grouping recall then follows filter_grade
+    # (default OFF until the on-chip ATE A/B is recorded in PARITY.md).
+    sweep_reuse=False,
     # data-parallel training width: "auto" = all chips on TPU hardware,
     # or an explicit device count (CPU tests/dryruns pass an int)
     data_parallel="auto",

@@ -43,10 +43,19 @@ class PreprocessConfig(NamedTuple):
     #: distances + bf16 ranking at recall 0.9, TPU only; ~2x cheaper,
     #: ops/neighbors.py)
     neighbor_grade: str = "filter"
+    #: when > 0, widen the shared sweep's top-k to this many candidates
+    #: and RETURN them ((P, sweep_k) idx + normalized dist2) so the
+    #: encoder's stage-1 hybrid grouping can be served from the sweep
+    #: instead of a fresh (npoint0, P) distance pass (models/encoder.py:
+    #: _group_from_sweep). The candidate graph is computed over the
+    #: post-distance-crop validity; later filter drops are re-masked at
+    #: selection time.
+    sweep_k: int = 0
 
     @classmethod
     def from_transforms(cls, transforms: dict,
-                        neighbor_grade: str = "filter") -> "PreprocessConfig":
+                        neighbor_grade: str = "filter",
+                        sweep_k: int = 0) -> "PreprocessConfig":
         """Build from the yaml transforms tree (same keys the host chain
         uses)."""
         t = dict(transforms)
@@ -73,6 +82,7 @@ class PreprocessConfig(NamedTuple):
         else:
             kw["norm_ratio"] = 1.0
         kw["neighbor_grade"] = neighbor_grade
+        kw["sweep_k"] = sweep_k
         return cls(**kw)
 
 
@@ -113,9 +123,10 @@ def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
     # vs the host chain is asserted in tests/test_preprocess.py.
     nb = None
     moments = None
-    if cfg.use_outlier or cfg.use_lowpass:
+    if cfg.use_outlier or cfg.use_lowpass or cfg.sweep_k > 0:
         k_shared = max((cfg.normals_num + 1) if cfg.use_lowpass else 0,
-                       (cfg.outlier_neighbors + 1) if cfg.use_outlier else 0)
+                       (cfg.outlier_neighbors + 1) if cfg.use_outlier else 0,
+                       cfg.sweep_k)
         assert not cfg.use_lowpass or cfg.normals_radius > 0, cfg
         out = filter_sweep(pts, valid, k_shared,
                            cfg.normals_radius if cfg.use_lowpass else 0.0,
@@ -148,6 +159,18 @@ def preprocess(points: jnp.ndarray, valid: jnp.ndarray,
         s = jnp.sum(top, axis=1)
         mu_s, sd_s = _masked_mean_std(s, valid)
         valid = valid & (s > mu_s - cfg.lowpass_std * sd_s)
+
+    if cfg.sweep_k > 0:
+        # hand the widened candidate graph to the encoder in NORMALIZED
+        # units (the sweep ranked raw-meter distances; a uniform scale
+        # preserves ranking, so dist2 just rescales by ratio^-2)
+        inv2 = jnp.float32(1.0 / (cfg.norm_ratio * cfg.norm_ratio))
+        d2 = nb[1][:, :cfg.sweep_k]
+        # re-pin the invalid-point sentinel (1e9 raw) so it stays >= 1e8
+        # after rescaling (normalized real dist2 tops out around 4.0)
+        d2 = jnp.where(d2 >= jnp.float32(1e8), jnp.float32(1e9), d2 * inv2)
+        sweep = (nb[0][:, :cfg.sweep_k], d2)
+        return pts / cfg.norm_ratio, valid, sweep
 
     return pts / cfg.norm_ratio, valid
 

@@ -76,6 +76,40 @@ def _query_batch(points, centers, k, radius, points_valid,
     return jax.vmap(fn)(points, centers, points_valid)
 
 
+def _group_from_sweep(center_idx, valid, sweep, k, radius):
+    """Stage-1 hybrid grouping served from the preprocess sweep's candidate
+    lists (data/preprocess.py sweep_k) instead of a fresh (S, N) distance
+    pass: gather each sampled center's pre-computed top-Ks candidates,
+    re-mask by the FINAL validity (filters ran after the sweep), pick the
+    k nearest survivors, then apply the hybrid radius clamp
+    (reference semantics: network/encoder/utils.py:113-123).
+
+    Exact-equal to hybrid_query whenever fewer than Ks - k of a center's
+    top-Ks candidates were dropped by the filter stages (measured drop
+    rates are a few percent, Ks - k margin is 8+); beyond that the tail
+    neighbors clamp to the nearest survivor, which max-pooled set
+    abstraction tolerates by design.
+
+    center_idx (B, S) int32, valid (B, N) bool,
+    sweep = (idx (B, N, Ks) int32, dist2 (B, N, Ks) f32, normalized units,
+    1e9 sentinel for pre-filter-invalid candidates).
+    Returns group idx (B, S, k) int32.
+    """
+    cand_idx, cand_d2 = sweep
+    cidx = jnp.take_along_axis(
+        cand_idx, center_idx[..., None], axis=1)          # (B, S, Ks)
+    cd2 = jnp.take_along_axis(cand_d2, center_idx[..., None], axis=1)
+    ok = jax.vmap(lambda v, i: v[i])(valid, cidx)         # (B, S, Ks)
+    d2m = jnp.where(ok & (cd2 < jnp.float32(1e8)), cd2, jnp.float32(1e9))
+    neg, sel = jax.lax.top_k(-d2m, k)                     # (B, S, k)
+    gidx = jnp.take_along_axis(cidx, sel, axis=-1)
+    gd2 = -neg
+    # hybrid clamp; the first column is each center's nearest surviving
+    # candidate (itself, at dist 0, whenever the sweep kept it)
+    return jnp.where(gd2 > jnp.float32(radius * radius),
+                     gidx[..., :1], gidx).astype(jnp.int32)
+
+
 class SetAbstraction(nn.Module):
     """Sample -> group -> MLP -> max-pool (reference: pointnext.py:8-64)."""
 
@@ -90,15 +124,20 @@ class SetAbstraction(nn.Module):
     act_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, coor, fea, valid):
+    def __call__(self, coor, fea, valid, sweep=None):
         # coor (B,N,3) fea (B,N,C) valid (B,N)
         idx, new_valid = _sample_batch(coor, valid, self.npoint,
                                        self.sample)                  # (B,S)
         new_coor = jnp.take_along_axis(coor, idx[..., None], axis=1)  # (B,S,3)
 
-        group_idx = _query_batch(coor, new_coor, self.nsample, self.radius,
-                                 valid, self.neighbor_grade,
-                                 self.querier)                        # (B,S,K)
+        if sweep is not None and self.querier == "hybrid":
+            group_idx = _group_from_sweep(idx, valid, sweep,
+                                          self.nsample, self.radius)
+        else:
+            group_idx = _query_batch(coor, new_coor, self.nsample,
+                                     self.radius, valid,
+                                     self.neighbor_grade,
+                                     self.querier)                    # (B,S,K)
         dt = jnp.dtype(self.act_dtype)
         g_coor = jax.vmap(group_points)(coor, group_idx)              # (B,S,K,3)
         # relative O(1) offsets: safe in the activation dtype
@@ -176,11 +215,12 @@ class Stage(nn.Module):
     act_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, coor, fea, valid):
+    def __call__(self, coor, fea, valid, sweep=None):
         coor, fea, valid = SetAbstraction(
             self.npoint, self.radius_list[0], self.nsample_list[0],
             self.in_channel, self.bias, self.sample, self.neighbor_grade,
-            self.querier, self.act_dtype, name="sa")(coor, fea, valid)
+            self.querier, self.act_dtype, name="sa")(coor, fea, valid,
+                                                     sweep=sweep)
         for i in range(1, len(self.radius_list)):
             fea = InvResMLP(self.radius_list[i], self.nsample_list[i],
                             self.in_channel * 2, self.expansion, self.bias,
@@ -305,8 +345,14 @@ class Encoder(nn.Module):
                        "encoder_bf16", False) else "float32")
 
     @nn.compact
-    def __call__(self, points: jnp.ndarray, valid: jnp.ndarray
+    def __call__(self, points: jnp.ndarray, valid: jnp.ndarray,
+                 sweep=None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """sweep: optional (idx (B, N, Ks), dist2 (B, N, Ks)) candidate
+        graph from the device preprocess chain (sweep_k > 0); serves the
+        FIRST stage's hybrid grouping without a fresh (npoint0, N)
+        distance pass (only valid when querier == 'hybrid' and the
+        dist2 units match `points`)."""
         coor = points[..., :3]
         fea = points[..., :self.in_channel]
         # reduced-precision activations only on TPU (trace-time gate,
@@ -326,7 +372,8 @@ class Encoder(nn.Module):
             c, f, v = Stage(self.npoint[i], self.radius_list[i],
                             self.nsample_list[i], width, self.expansion,
                             self.bias, sample[i], self.neighbor_grade,
-                            self.querier, act, name=f"down{i}")(*levels[-1])
+                            self.querier, act, name=f"down{i}")(
+                *levels[-1], sweep=sweep if i == 0 else None)
             levels.append((c, f, v))
             width *= 2
 

@@ -40,12 +40,18 @@ def make_sharded_extract(encoder, enc_params, mesh: Mesh,
     params = jax.device_put(enc_params, rep)
 
     def _impl(points, valid):
+        sweep = None
         if preprocess_cfg is not None:
             from deeppointmap_tpu.data.preprocess import preprocess
 
-            points, valid = jax.vmap(
+            out = jax.vmap(
                 lambda p, v: preprocess(p, v, preprocess_cfg))(points, valid)
-        coor, fea, out_valid = encoder.apply(params, points, valid)
+            if preprocess_cfg.sweep_k > 0:
+                points, valid, sweep = out
+            else:
+                points, valid = out
+        coor, fea, out_valid = encoder.apply(params, points, valid,
+                                             sweep=sweep)
         desc = jnp.concatenate([fea, coor * coor_scale], axis=-1)
         return desc, out_valid, valid
 

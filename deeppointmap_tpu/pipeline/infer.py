@@ -45,9 +45,18 @@ def device_preprocess_config(args):
         return None
     from deeppointmap_tpu.data.preprocess import PreprocessConfig
 
+    sweep_k = 0
+    querier = str(args.encoder.get("querier", "hybrid")).lower()
+    if (args.tpu.get("sweep_reuse", False)
+            and querier in ("hybrid", "hybrid-t3d")):
+        # stage-1 group size + self + 8 slack candidates for re-masking
+        # filter-dropped points (models/encoder.py:_group_from_sweep)
+        sweep_k = int(args.encoder.nsample_list[0][0]) + 9
+
     return PreprocessConfig.from_transforms(
         dict(args.transforms),
-        neighbor_grade=str(args.tpu.get("filter_grade", "filter")))
+        neighbor_grade=str(args.tpu.get("filter_grade", "filter")),
+        sweep_k=sweep_k)
 
 
 def make_infer_transform(args):

@@ -238,19 +238,25 @@ class InferenceEngine:
     # ------------------------------------------------------------ extract
     def _maybe_preprocess(self, points, valid):
         """Fused device-side filter chain (no-op when host-preprocessed).
-        Returns (normalized points, filtered validity)."""
+        Returns (normalized points, filtered validity, sweep-or-None);
+        sweep is the widened neighbor-candidate graph when the config
+        asked for stage-1 grouping reuse (preprocess_cfg.sweep_k > 0)."""
         if self.preprocess_cfg is None:
-            return points, valid
+            return points, valid, None
         from deeppointmap_tpu.data.preprocess import preprocess
 
-        return jax.vmap(
+        out = jax.vmap(
             lambda p, v: preprocess(p, v, self.preprocess_cfg))(points, valid)
+        if self.preprocess_cfg.sweep_k > 0:
+            return out
+        return out[0], out[1], None
 
     def _extract_impl(self, points, valid):
         points, valid = self._dequant_input(points, valid)
-        pts_n, pts_valid = self._maybe_preprocess(points, valid)
+        pts_n, pts_valid, sweep = self._maybe_preprocess(points, valid)
         coor, fea, out_valid = self.encoder.apply(self.enc_params,
-                                                  pts_n, pts_valid)
+                                                  pts_n, pts_valid,
+                                                  sweep=sweep)
         # descriptor = [features, xyz * coor_scale] (meters)
         # (reference: system/modules/odometry.py:47-49)
         desc = jnp.concatenate([fea, coor * self.coor_scale], axis=-1)

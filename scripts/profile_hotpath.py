@@ -139,8 +139,25 @@ def main() -> None:
                          num_pairs_actual=jnp.int32(npairs)), trials)))
         setattr(_normals, flag, default)
 
+    # sweep-reuse A/B (tpu.sweep_reuse): stage-1 grouping served from the
+    # widened filter sweep vs a fresh (npoint0, P) distance pass. A second
+    # engine is built so both variants keep their own compiled programs.
+    args_sr = Config(args)
+    args_sr.tpu = Config(args.tpu)
+    args_sr.tpu.sweep_reuse = True
+    engine_sr = InferenceEngine(args_sr, ep, dp, encoder=enc, decoder=dec,
+                                preprocess_cfg=device_preprocess_config(
+                                    args_sr))
+    rows.append(("fused odometry (sweep_reuse)",
+                 timeit(lambda: engine_sr._odometry_fn(
+                     pd, vd, cd[0], cv[0], cand_pcd, cand_pv,
+                     num_pairs=npairs,
+                     num_pairs_actual=jnp.int32(npairs)), trials)))
+    rows.append(("extract (sweep_reuse)",
+                 timeit(lambda: engine_sr._extract_fn(pd, vd), trials)))
+
     # encoder alone on preprocessed points
-    pn, pvn = pre(pd, vd)
+    pn, pvn, _ = pre(pd, vd)
     enc_fn = jax.jit(lambda p, v: engine.encoder.apply(
         engine.enc_params, p, v))
 

@@ -75,13 +75,19 @@ def run_dir(tmp_path_factory):
 
     from deeppointmap_tpu.data.dataset import BasicAgent
     from deeppointmap_tpu.pipeline.common import init_params
-    from deeppointmap_tpu.pipeline.infer import make_infer_transform
+    from deeppointmap_tpu.pipeline.infer import (device_preprocess_config,
+                                                 make_infer_transform)
     from deeppointmap_tpu.slam.engine import InferenceEngine
     from deeppointmap_tpu.slam.system import SlamSystem
 
     enc, dec, enc_params, dec_params = init_params(args, seed=0)
+    # the transform chain and the engine must agree on who normalizes:
+    # make_infer_transform emits RAW METERS whenever device preprocessing
+    # is active, so the engine needs the matching PreprocessConfig (the
+    # production wiring in pipeline/infer.py:main)
     engine = InferenceEngine(args, enc_params, dec_params,
-                             encoder=enc, decoder=dec)
+                             encoder=enc, decoder=dec,
+                             preprocess_cfg=device_preprocess_config(args))
     agent = BasicAgent(root=SAMPLE, reader="auto")
     agent.set_independent(make_infer_transform(args))
     system = SlamSystem(args, engine, system_id=1, logger_dir=str(tmp_path))
