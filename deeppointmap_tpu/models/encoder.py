@@ -36,6 +36,19 @@ QUERIERS = ("knn", "ball", "hybrid")
 #: are ignored for fps (reference: pointnext.py:21,30-35)
 DEFAULT_SAMPLE = ("fps", 0.0, 0.0)
 
+#: ONE self-kNN per pyramid level instead of one query per consumer
+#: (hybrid querier only). Every InvResMLP block at a level and the NEXT
+#: stage's SetAbstraction all query the same point set under the same
+#: validity, and hybrid = kNN + per-radius clamp where the kNN part is
+#: radius-independent -- so a single (N_i, k_max) graph serves them all
+#: (next-SA centers are a subset: row-gather). BITWISE-equal to the
+#: per-consumer queries: each row's distance vector is identical and
+#: both lax.top_k and approx_max_k are row-deterministic (equivalence
+#: pinned in tests/test_sweep_reuse.py). Removes ~4/5 of the encoder's
+#: query distance-work at production shapes. Off = the reference-shaped
+#: one-query-per-consumer path (profiling/debug).
+LEVEL_GRAPH_REUSE = True
+
 
 def _sample_batch(coor, valid, k, sample=DEFAULT_SAMPLE):
     """Batched sampling: (B,N,3),(B,N) -> idx (B,k), valid (B,k).
@@ -74,6 +87,29 @@ def _query_batch(points, centers, k, radius, points_valid,
         raise ValueError(f"unknown querier {querier!r}: use one of "
                          f"{QUERIERS}")
     return jax.vmap(fn)(points, centers, points_valid)
+
+
+def _level_graph(coor, valid, k, grade):
+    """The level's shared candidate graph: self-kNN (B, N, k) idx + dist2
+    (invalid points carry the 1e9 sentinel distance, exactly like a
+    direct query's masking)."""
+    from deeppointmap_tpu.ops.neighbors import batched_knn
+
+    return batched_knn(coor, coor, k, valid, grade=grade)
+
+
+def _hybrid_from_graph(graph, k, radius, center_idx=None):
+    """Hybrid grouping read out of a level graph: optional row-gather for
+    subset centers, slice the first k (rows are ascending by distance),
+    clamp out-of-radius/sentinel entries to the nearest neighbor --
+    identical math to hybrid_query on the same rows
+    (reference semantics: network/encoder/utils.py:113-123)."""
+    gidx, gd2 = graph
+    if center_idx is not None:
+        gidx = jnp.take_along_axis(gidx, center_idx[..., None], axis=1)
+        gd2 = jnp.take_along_axis(gd2, center_idx[..., None], axis=1)
+    gi, gd = gidx[..., :k], gd2[..., :k]
+    return jnp.where(gd > jnp.float32(radius * radius), gi[..., :1], gi)
 
 
 def _group_from_sweep(center_idx, valid, sweep, k, radius):
@@ -124,8 +160,10 @@ class SetAbstraction(nn.Module):
     act_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, coor, fea, valid, sweep=None):
-        # coor (B,N,3) fea (B,N,C) valid (B,N)
+    def __call__(self, coor, fea, valid, sweep=None, graph=None):
+        # coor (B,N,3) fea (B,N,C) valid (B,N); graph = the PREVIOUS
+        # level's shared kNN over `coor` (serves this SA's query since
+        # the sampled centers are a subset of its rows)
         idx, new_valid = _sample_batch(coor, valid, self.npoint,
                                        self.sample)                  # (B,S)
         new_coor = jnp.take_along_axis(coor, idx[..., None], axis=1)  # (B,S,3)
@@ -133,6 +171,9 @@ class SetAbstraction(nn.Module):
         if sweep is not None and self.querier == "hybrid":
             group_idx = _group_from_sweep(idx, valid, sweep,
                                           self.nsample, self.radius)
+        elif graph is not None and self.querier == "hybrid":
+            group_idx = _hybrid_from_graph(graph, self.nsample,
+                                           self.radius, center_idx=idx)
         else:
             group_idx = _query_batch(coor, new_coor, self.nsample,
                                      self.radius, valid,
@@ -162,9 +203,14 @@ class LocalAggregation(nn.Module):
     act_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, coor, fea, valid):
-        group_idx = _query_batch(coor, coor, self.nsample, self.radius, valid,
-                                 self.neighbor_grade, self.querier)
+    def __call__(self, coor, fea, valid, graph=None):
+        if graph is not None and self.querier == "hybrid":
+            # centers == points: the graph rows ARE this query
+            group_idx = _hybrid_from_graph(graph, self.nsample, self.radius)
+        else:
+            group_idx = _query_batch(coor, coor, self.nsample, self.radius,
+                                     valid, self.neighbor_grade,
+                                     self.querier)
         dt = jnp.dtype(self.act_dtype)
         g_coor = jax.vmap(group_points)(coor, group_idx)
         g_coor = ((g_coor - coor[:, :, None, :]) / self.radius).astype(dt)
@@ -188,11 +234,12 @@ class InvResMLP(nn.Module):
     act_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, coor, fea, valid):
+    def __call__(self, coor, fea, valid, graph=None):
         identity = fea
         fea = LocalAggregation(self.radius, self.nsample, self.in_channel,
                                self.bias, self.neighbor_grade, self.querier,
-                               self.act_dtype, name="la")(coor, fea, valid)
+                               self.act_dtype, name="la")(coor, fea, valid,
+                                                          graph=graph)
         fea = MLP([self.in_channel * self.expansion, self.in_channel],
                   bias=self.bias, drop_last_act=True,
                   act_dtype=self.act_dtype, name="pw_conv")(fea)
@@ -215,19 +262,29 @@ class Stage(nn.Module):
     act_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, coor, fea, valid, sweep=None):
+    def __call__(self, coor, fea, valid, sweep=None, in_graph=None,
+                 graph_k: int = 0):
+        """in_graph: the previous level's shared kNN over the INPUT
+        points (serves the SA query); graph_k > 0 requests this level's
+        own shared graph over the SAMPLED points (serving the InvResMLP
+        blocks here and the next stage's SA) -- returned as 4th output."""
         coor, fea, valid = SetAbstraction(
             self.npoint, self.radius_list[0], self.nsample_list[0],
             self.in_channel, self.bias, self.sample, self.neighbor_grade,
             self.querier, self.act_dtype, name="sa")(coor, fea, valid,
-                                                     sweep=sweep)
+                                                     sweep=sweep,
+                                                     graph=in_graph)
+        graph = None
+        if graph_k > 0 and self.querier == "hybrid":
+            graph = _level_graph(coor, valid, graph_k, self.neighbor_grade)
         for i in range(1, len(self.radius_list)):
             fea = InvResMLP(self.radius_list[i], self.nsample_list[i],
                             self.in_channel * 2, self.expansion, self.bias,
                             self.neighbor_grade, self.querier,
                             self.act_dtype, name=f"irm{i - 1}")(coor, fea,
-                                                                valid)
-        return coor, fea, valid
+                                                                valid,
+                                                                graph=graph)
+        return coor, fea, valid, graph
 
 
 class FeaturePropagation(nn.Module):
@@ -368,12 +425,24 @@ class Encoder(nn.Module):
         if len(sample) < len(self.npoint):
             sample = sample + (DEFAULT_SAMPLE,) * (len(self.npoint)
                                                    - len(sample))
+        graph = None
         for i in range(len(self.npoint)):
-            c, f, v = Stage(self.npoint[i], self.radius_list[i],
-                            self.nsample_list[i], width, self.expansion,
-                            self.bias, sample[i], self.neighbor_grade,
-                            self.querier, act, name=f"down{i}")(
-                *levels[-1], sweep=sweep if i == 0 else None)
+            # shared-graph width for this level: the widest consumer
+            # among its own InvResMLP blocks and the next stage's SA
+            graph_k = 0
+            if LEVEL_GRAPH_REUSE and self.querier == "hybrid":
+                own = max(self.nsample_list[i][1:], default=0)
+                nxt = self.nsample_list[i + 1][0] \
+                    if i + 1 < len(self.npoint) else 0
+                graph_k = max(int(own), int(nxt))
+            c, f, v, graph = Stage(self.npoint[i], self.radius_list[i],
+                                   self.nsample_list[i], width,
+                                   self.expansion,
+                                   self.bias, sample[i],
+                                   self.neighbor_grade,
+                                   self.querier, act, name=f"down{i}")(
+                *levels[-1], sweep=sweep if i == 0 else None,
+                in_graph=graph, graph_k=graph_k)
             levels.append((c, f, v))
             width *= 2
 

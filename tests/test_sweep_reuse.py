@@ -102,6 +102,37 @@ def test_preprocess_returns_normalized_sweep():
         assert pre_valid[js[real]].all()
 
 
+def test_level_graph_reuse_bitwise_equal():
+    """LEVEL_GRAPH_REUSE serves every IRM block and the next SA from one
+    self-kNN per level; rankings are row-deterministic, so the whole
+    encoder must be BITWISE identical to the one-query-per-consumer
+    path (on CPU both run the exact grade)."""
+    import deeppointmap_tpu.models.encoder as enc_mod
+
+    n = 512
+    pts = _cloud(n, seed=7, scale=5.0)[None]
+    valid = np.ones((1, n), bool)
+    # 3 levels, one with TWO IRM blocks, mixed nsample widths
+    enc = Encoder(npoint=(128, 32, 8),
+                  radius_list=((0.5, 1.0), (1.0, 2.0, 2.0), (2.0, 4.0)),
+                  nsample_list=((8, 8), (8, 16, 8), (4, 8)), in_channel=3,
+                  out_channel=16, width=8, upsample_layers=2,
+                  neighbor_grade="exact", querier="hybrid")
+    x, v = jnp.asarray(pts), jnp.asarray(valid)
+    params = enc.init(jax.random.PRNGKey(1), x, v)
+
+    assert enc_mod.LEVEL_GRAPH_REUSE is True   # production default
+    reused = enc.apply(params, x, v)
+    enc_mod.LEVEL_GRAPH_REUSE = False
+    try:
+        direct = enc.apply(params, x, v)
+    finally:
+        enc_mod.LEVEL_GRAPH_REUSE = True
+
+    for a, b in zip(direct, reused):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_engine_extract_sweep_reuse_real_frame():
     """Full production wiring on a real KITTI frame (CPU, exact grade):
     an engine with tpu.sweep_reuse=True must produce the same descriptors
