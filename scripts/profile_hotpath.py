@@ -123,7 +123,8 @@ def main() -> None:
     from deeppointmap_tpu.ops import normals as _normals
 
     for flag, name in (("USE_PALLAS_MOMENTS", "pallas"),
-                       ("USE_MERGED_MOMENTS", "split-HIGH")):
+                       ("USE_MERGED_MOMENTS", "split-HIGH"),
+                       ("USE_PALLAS_SWEEP", "pallas-sweep")):
         default = getattr(_normals, flag)
         setattr(_normals, flag, not default)
         alt = name if flag != "USE_MERGED_MOMENTS" or default else "merged"
