@@ -251,17 +251,23 @@ def full_eval_args(root: str, out_dir: str):
     return args
 
 
-def _build_trainer(args, seed=0):
+def _build_trainer(args, seed=0, init_weights: str = ""):
     from deeppointmap_tpu.data.dataset import SlamDatasets
     from deeppointmap_tpu.data.transforms import PointCloudTransforms
-    from deeppointmap_tpu.pipeline.common import init_params
+    from deeppointmap_tpu.pipeline.common import init_params, load_weights
     from deeppointmap_tpu.pipeline.trainer import Trainer
 
     rng = np.random.default_rng(seed)
     tfs = PointCloudTransforms(args, mode="train", rng=rng)
     tfs.transforms.transforms = tfs.transforms.transforms[:-1]
     ds = SlamDatasets(args, data_transforms=tfs, rng=rng)
-    enc, dec, ep, dp = init_params(args, seed=0)
+    if init_weights:
+        # warm start (e.g. occlusion fine-tune from the committed
+        # artifact): a from-scratch occluded run needs 2x the epochs
+        # just to re-learn registration (round-3 measurement)
+        enc, dec, ep, dp = load_weights(args, init_weights)
+    else:
+        enc, dec, ep, dp = init_params(args, seed=0)
     trainer = Trainer(args, ds, enc, dec, ep, dp, rng=rng)
     return trainer, ds
 
@@ -343,6 +349,9 @@ def main():
                     help="render worlds with first-return occlusion "
                          "(stage-2 loop signal; needs the longer epoch "
                          "budget -- see OCCLUSION_RENDER note)")
+    ap.add_argument("--init_weights", default="",
+                    help="warm-start both stages from this msgpack "
+                         "artifact instead of random init")
     ns = ap.parse_args()
 
     if ns.occlusion:
@@ -360,7 +369,7 @@ def main():
 
         args = full_train_args(ns.root, ns.out, ns.epochs1, ns.epochs2,
                                remat=ns.remat)
-        trainer, ds = _build_trainer(args)
+        trainer, ds = _build_trainer(args, init_weights=ns.init_weights)
         print(f"dataset: {len(ds)} frames; "
               f"{trainer._steps_per_epoch()} steps/epoch; "
               f"stage epochs {trainer.stage_epochs}", flush=True)
