@@ -298,8 +298,11 @@ def measure_remat(root: str, out: str, n_steps: int = 10) -> dict:
     return results
 
 
-def evaluate(weights: str, out: str, eval_root: str) -> dict:
-    """Two-lap SLAM with the trained full-size model, loops on and off."""
+def evaluate(weights: str, out: str, eval_root: str,
+             tpu_overrides: dict | None = None) -> dict:
+    """Two-lap SLAM with the trained full-size model, loops on and off.
+    tpu_overrides merge into args.tpu (e.g. {'sweep_reuse': True} for
+    the on-chip grouping-reuse ATE A/B)."""
     from deeppointmap_tpu.pipeline.common import load_weights
     from deeppointmap_tpu.pipeline.infer import (device_preprocess_config,
                                                  run_sequence)
@@ -310,6 +313,8 @@ def evaluate(weights: str, out: str, eval_root: str) -> dict:
     out_d = {}
     for name, loops in (("ate_m", True), ("ate_no_loop_m", False)):
         args = full_eval_args(eval_root, out)
+        for k, v in (tpu_overrides or {}).items():
+            args.tpu[k] = v
         args.slam_system.enable_loop_closure = loops
         args.slam_system.enable_global_optimization = loops
         enc, dec, ep, dp = load_weights(args, weights)
@@ -352,6 +357,9 @@ def main():
     ap.add_argument("--init_weights", default="",
                     help="warm-start both stages from this msgpack "
                          "artifact instead of random init")
+    ap.add_argument("--sweep_reuse", action="store_true",
+                    help="evaluate with tpu.sweep_reuse=True (on-chip "
+                         "grouping-reuse ATE A/B)")
     ns = ap.parse_args()
 
     if ns.occlusion:
@@ -383,7 +391,9 @@ def main():
         print(f"weights -> {ns.weights_out}", flush=True)
 
     if not ns.skip_eval:
-        res = evaluate(ns.weights_out, ns.out, ns.eval_root)
+        res = evaluate(ns.weights_out, ns.out, ns.eval_root,
+                       tpu_overrides={"sweep_reuse": True}
+                       if ns.sweep_reuse else None)
         print(json.dumps(res), flush=True)
 
 
