@@ -148,6 +148,12 @@ TPU_DEFAULTS = Config(
     # querier='hybrid'. Grouping recall then follows filter_grade
     # (default OFF until the on-chip ATE A/B is recorded in PARITY.md).
     sweep_reuse=False,
+    # info-matrix source subsampling: 1 = the reference's full G^T G sum;
+    # a power-of-2 stride estimates it from every stride-th source point
+    # (rescaled — unbiased, ~1-2% relative noise at production sizes) and
+    # shrinks the fused step's second-largest N^2 sweep by that factor.
+    # OFF (1) until the on-chip ATE A/B is recorded in PARITY.md.
+    infomat_stride=1,
     # data-parallel training width: "auto" = all chips on TPU hardware,
     # or an explicit device count (CPU tests/dryruns pass an int)
     data_parallel="auto",

@@ -39,7 +39,8 @@ def _gtg(t: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
                 precision=jax.lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.jit, static_argnames=("center_chunk", "grade"))
+@functools.partial(jax.jit,
+                   static_argnames=("center_chunk", "grade", "stride"))
 def information_matrix(
     src: jnp.ndarray,        # (N, 3) source points
     src_valid: jnp.ndarray,  # (N,) bool
@@ -50,16 +51,34 @@ def information_matrix(
     radius: float = 1.0,
     center_chunk: int = 2048,
     grade: str = "exact",
+    stride: int = 1,
 ) -> jnp.ndarray:
-    """Returns the 6x6 information matrix (float32)."""
+    """Returns the 6x6 information matrix (float32).
+
+    stride > 1 estimates G^T G from every stride-th SOURCE point and
+    rescales by `stride` (an unbiased estimate of the full sum): the
+    1-NN correspondence sweep is the second-largest N^2 cost of the
+    fused odometry call, and the matrix is a 6x6 statistic whose
+    relative eigenstructure is stable to ~1/sqrt(N/stride) sampling
+    noise (~1-2% at production sizes; tests/test_ops.py pins it).
+    stride=1 keeps the reference-exact full accumulation
+    (reference: system/modules/utils.py:60-113)."""
+    if stride > 1:
+        src = src[::stride]
+        src_valid = src_valid[::stride]
     moved = src @ R.T + t.reshape(1, 3)
     # fast grade: the 1-NN correspondence search feeds a statistical
     # accumulation (G^T G) gated at 1 m; a near-tie correspondence flip
     # changes nothing measurable, and the full-sweep argmin is the
     # second-largest N^2 cost of the fused odometry call
-    idx, dist2 = knn(dst, moved, 1, dst_valid, center_chunk=center_chunk,
+    n = moved.shape[0]
+    # keep knn's even-chunk invariant for any stride (power-of-2 strides
+    # divide cleanly; odd leftovers fall back to one (n, M) tile)
+    chunk = center_chunk if n % center_chunk == 0 else n
+    idx, dist2 = knn(dst, moved, 1, dst_valid, center_chunk=chunk,
                      grade=grade)
     idx, dist2 = idx[:, 0], dist2[:, 0]
     mask = (dist2 <= radius * radius) & src_valid
     corres = jnp.take(dst, idx, axis=0)                  # (N, 3)
-    return _gtg(corres.astype(jnp.float32), mask)
+    out = _gtg(corres.astype(jnp.float32), mask)
+    return out * jnp.float32(stride) if stride > 1 else out

@@ -114,6 +114,10 @@ class InferenceEngine:
         #: distance statistic; the encoder's separate tpu.neighbor_grade
         #: knob is read by Encoder.from_config)
         self.filter_grade = str(tpu.get("filter_grade", "filter"))
+        #: info-matrix source subsampling (1 = reference-exact full sum;
+        #: power-of-2 strides estimate G^T G from every stride-th point,
+        #: ops/infomat.py). Gated OFF by default pending the on-chip A/B.
+        self.infomat_stride = int(tpu.get("infomat_stride", 1))
         self.encoder = encoder or Encoder.from_config(args)
         self.decoder = decoder or Decoder.from_config(args)
         if device is not None:
@@ -358,7 +362,8 @@ class InferenceEngine:
             self.dec_params, src, dst, sv, dv, num_pairs, num_pairs_actual,
             method=Decoder.registration)
         info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t,
-                                  grade=self.filter_grade)
+                                  grade=self.filter_grade,
+                                  stride=self.infomat_stride)
         return R, t, conf, rmse, info
 
     def register_with_info_async(self, src_desc, src_valid, dst_desc,
@@ -425,7 +430,8 @@ class InferenceEngine:
             self.dec_params, tile, dst_desc, tvalid, dst_kv,
             num_pairs, num_pairs_actual, method=Decoder.registration)
         info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t,
-                                  grade=self.filter_grade)
+                                  grade=self.filter_grade,
+                                  stride=self.infomat_stride)
         return R, t, conf, rmse, info
 
     def _tile_tile_reg_info_impl(self, s_descs, s_kvs, s_poses, s_mvalid,
@@ -440,7 +446,8 @@ class InferenceEngine:
             self.dec_params, s_tile, d_tile, s_valid, d_valid,
             num_pairs, num_pairs_actual, method=Decoder.registration)
         info = information_matrix(src_pcd, spv, dst_pcd, dpv, R, t,
-                                  grade=self.filter_grade)
+                                  grade=self.filter_grade,
+                                  stride=self.infomat_stride)
         return R, t, conf, rmse, info
 
     def _members_dev(self, members):
@@ -591,7 +598,8 @@ class InferenceEngine:
             new_pcd = points[0]  # already meters in raw mode
         info = information_matrix(cand_pcd, cand_pvalid, new_pcd,
                                   pts_valid[0], R, t,
-                                  grade=self.filter_grade)
+                                  grade=self.filter_grade,
+                                  stride=self.infomat_stride)
         # unbatched copies of the new scan's arrays (free inside the jit):
         # the streaming caller caches them device-side under the scan's
         # token so (a) they never re-upload when this scan becomes the
@@ -829,7 +837,8 @@ class InferenceEngine:
     # -------------------------------------------------- information matrix
     def _info_impl(self, src, sv, dst, dv, R, t):
         return information_matrix(src, sv, dst, dv, R, t,
-                                  grade=self.filter_grade)
+                                  grade=self.filter_grade,
+                                  stride=self.infomat_stride)
 
     def compute_information_matrix(self, src_pcd, src_valid, dst_pcd,
                                    dst_valid, SE3) -> np.ndarray:

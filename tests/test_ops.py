@@ -207,6 +207,34 @@ class TestInfoMat:
                 GTG += g @ g.T
         assert np.allclose(got, GTG, rtol=1e-3, atol=1e-2)
 
+    def test_stride_estimate_tracks_full_sum(self, rng):
+        """infomat_stride: the strided G^T G (rescaled) must match the
+        full sum to sampling noise (~1/sqrt(N/stride)) and keep the same
+        eigenstructure -- it feeds pose-graph edge WEIGHTS, so relative
+        fidelity is what matters."""
+        n = 4096
+        src = rng.normal(size=(n, 3)).astype(np.float32) * 5
+        R = s.so3_exp(rng.normal(size=3) * 0.05).astype(np.float32)
+        t = (rng.normal(size=3) * 0.1).astype(np.float32)
+        dst = (src @ R.T + t
+               + rng.normal(size=(n, 3)).astype(np.float32) * 0.03)
+        valid = np.ones(n, dtype=bool)
+        args = (jnp.asarray(src), jnp.asarray(valid), jnp.asarray(dst),
+                jnp.asarray(valid), jnp.asarray(R), jnp.asarray(t))
+        full = np.asarray(information_matrix(*args))
+        est = np.asarray(information_matrix(*args, stride=4))
+        rel = np.linalg.norm(est - full) / np.linalg.norm(full)
+        assert rel < 0.05, rel
+        wf, vf = np.linalg.eigh(full)
+        we = np.linalg.eigvalsh(est)
+        # eigenvalues within 5%; the full matrix's eigenbasis must see
+        # the same quadratic form in the estimate (isotropic clouds have
+        # near-degenerate top eigenpairs, so comparing individual
+        # eigenVECTORS would be ill-posed)
+        assert np.allclose(we, wf, rtol=0.05)
+        quad = np.diag(vf.T @ est @ vf)
+        assert np.allclose(quad, wf, rtol=0.05)
+
     def test_symmetry_and_psd(self, rng):
         src = rng.normal(size=(64, 3)).astype(np.float32)
         valid = np.ones(64, dtype=bool)
