@@ -140,6 +140,18 @@ def main() -> None:
                          num_pairs_actual=jnp.int32(npairs)), trials)))
         setattr(_normals, flag, default)
 
+    # infomat-stride A/B (tpu.infomat_stride): strided G^T G estimate
+    orig_stride = engine.infomat_stride
+    engine.infomat_stride = 4
+    fused_s4 = jax.jit(lambda *a, **k: engine._odometry_impl(*a, **k),
+                       static_argnames=("num_pairs",))
+    rows.append(("fused odometry (infomat_stride 4)",
+                 timeit(lambda: fused_s4(
+                     pd, vd, cd[0], cv[0], cand_pcd, cand_pv,
+                     num_pairs=npairs,
+                     num_pairs_actual=jnp.int32(npairs)), trials)))
+    engine.infomat_stride = orig_stride
+
     # sweep-reuse A/B (tpu.sweep_reuse): stage-1 grouping served from the
     # widened filter sweep vs a fresh (npoint0, P) distance pass. A second
     # engine is built so both variants keep their own compiled programs.
