@@ -82,18 +82,42 @@ def icp_chain(n_frames: int) -> np.ndarray:
     return np.stack(poses)
 
 
+def npz_gt(root: str) -> np.ndarray:
+    """GT chain from a synthetic npz scene dir (ego_rotation/translation
+    per frame, data/synthetic.py write_npz_sequence layout)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(root, "*.npz")),
+                   key=lambda f: int(os.path.basename(f).split(".")[0]))
+    poses = []
+    for f in files:
+        z = np.load(f)
+        T = np.eye(4)
+        T[:3, :3] = z["ego_rotation"]
+        T[:3, 3] = z["ego_translation"].reshape(3)
+        poses.append(T)
+    return np.stack(poses)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--g2o", required=True, help="cloud .pg.g2o file")
     ap.add_argument("--agents", type=int, default=3)
     ap.add_argument("--frames", type=int, default=11,
-                    help="total frames in the shared sequence")
+                    help="total frames in the shared sequence (ICP mode)")
+    ap.add_argument("--gt_root", default="",
+                    help="npz scene dir with ego poses (synthetic GT); "
+                         "default: ICP pseudo-GT over the real sample")
     ns = ap.parse_args()
 
     from deeppointmap_tpu.utils.evaluation import ate_rmse
 
     verts = read_g2o_vertices(ns.g2o)
-    gt = icp_chain(ns.frames)
+    if ns.gt_root:
+        gt = npz_gt(ns.gt_root)
+        ns.frames = len(gt)
+    else:
+        gt = icp_chain(ns.frames)
 
     # token -> global frame
     rows = []   # (global_frame, agent, SE3)
