@@ -231,9 +231,12 @@ def _accuracy(q):
         # PRIMARY: the full-size DeepPointMap-B model trained at
         # production shapes (scripts/train_full_size.py) on its
         # full-density eval world
-        from scripts.train_full_size import build_eval_world, full_eval_args
+        from scripts.train_full_size import (apply_artifact_render,
+                                             build_eval_world,
+                                             full_eval_args)
 
         root = "/tmp/dpm_full_world2"
+        apply_artifact_render(full_w)   # occluded artifact -> occluded world
         build_eval_world(root)
         out = run_block(lambda: full_eval_args(root, "/tmp/dpm_bench_acc"),
                         full_w, root)

@@ -73,9 +73,55 @@ def steady_ms(fn, trials: int, warmup: int = 3) -> float:
     return (time.perf_counter() - t0) / trials * 1e3
 
 
+def train_step_program(trials: int):
+    """Row for the PRODUCTION stage-1 train step at full DeepPointMap-B
+    shapes (16384-pt pad, S=2 frames, AdamW), built by the production
+    Trainer on a single synthetic scene. Returns (name, ms, flops,
+    bytes) — the jitted step is lowered once so cost_analysis reflects
+    exactly what runs."""
+    import jax
+
+    from scripts.train_full_size import (build_eval_world, full_train_args,
+                                         _build_trainer)
+
+    root = "/tmp/dpm_full_world2"
+    build_eval_world(root)
+    args = full_train_args(root, "/tmp/dpm_mfu_train")
+    # one-scene dataset is enough for a timing row
+    args.dataset[0]["scenes"] = ["scene0"]
+    trainer, _ = _build_trainer(args)
+    trainer._setup_stage()
+    it = trainer._iter_batches()
+    batch = next(it)
+    step = trainer.train_step
+    compiled = None
+    try:
+        compiled = step.lower(trainer.state, batch).compile()
+    except AttributeError:
+        pass
+
+    state = trainer.state
+
+    def one():
+        nonlocal state
+        state, m = step(state, batch)
+        return m["loss"]
+
+    ms = steady_ms(one, trials)
+    if compiled is not None:
+        flops, byts = cost_of(compiled)
+    else:
+        flops = byts = 0.0
+    return "stage-1 train step (full shapes, S=2, b=1)", ms, flops, byts
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=30)
+    ap.add_argument("--train_step", action="store_true",
+                    help="also measure the production stage-1 train "
+                         "step at full shapes (builds a trainer; adds "
+                         "a few minutes of compile)")
     ap.add_argument("--trace", default="",
                     help="also write a jax.profiler trace to this dir")
     ap.add_argument("--json_out", default="",
@@ -160,6 +206,21 @@ def main() -> None:
                                       / peaks["f32_tflops"], 2),
             achieved_hbm_gbps=round(gbps, 1),
             hbm_util_pct=round(100 * gbps / peaks["hbm_gbps"], 1),
+        ))
+
+    if cli.train_step:
+        tname, tms, tflops_raw, tbytes = train_step_program(
+            max(5, cli.trials // 3))
+        tf = tflops_raw / (tms * 1e-3) / 1e12
+        gb = tbytes / (tms * 1e-3) / 1e9
+        rows.append(dict(
+            program=tname, ms=round(tms, 3),
+            xla_gflops=round(tflops_raw / 1e9, 2),
+            xla_gbytes=round(tbytes / 1e9, 3),
+            achieved_tflops=round(tf, 3),
+            mfu_vs_f32_peak_pct=round(100 * tf / peaks["f32_tflops"], 2),
+            achieved_hbm_gbps=round(gb, 1),
+            hbm_util_pct=round(100 * gb / peaks["hbm_gbps"], 1),
         ))
 
     if cli.trace:

@@ -141,6 +141,28 @@ def build_eval_world(root: str, laps: int = 2, frames_per_lap: int = 48):
     _stamp_scene(agent_dir, meta)
 
 
+def apply_artifact_render(weights: str) -> None:
+    """Adopt the render settings the weights were TRAINED with (written
+    next to the artifact as render_meta.json). Evaluating an occluded
+    model on an un-occluded world (or vice versa) is a distribution
+    mismatch that silently degrades the bench accuracy block; the
+    world-dir fingerprint (_scene_is_current) regenerates the eval world
+    whenever these settings change."""
+    meta_path = os.path.join(os.path.dirname(weights), "render_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        RENDER.clear()
+        RENDER.update(meta)
+
+
+def save_render_meta(weights_out: str) -> None:
+    os.makedirs(os.path.dirname(weights_out), exist_ok=True)
+    with open(os.path.join(os.path.dirname(weights_out),
+                           "render_meta.json"), "w") as f:
+        json.dump(RENDER, f)
+
+
 def _model_trees():
     """Full DeepPointMap-B architecture trees (identical to
     configs/infer/sample.yaml = the reference SemanticKITTI yaml)."""
@@ -309,6 +331,7 @@ def evaluate(weights: str, out: str, eval_root: str,
     from deeppointmap_tpu.slam.engine import InferenceEngine
     from deeppointmap_tpu.utils.evaluation import ate_rmse
 
+    apply_artifact_render(weights)
     build_eval_world(eval_root)
     out_d = {}
     for name, loops in (("ate_m", True), ("ate_no_loop_m", False)):
@@ -388,6 +411,7 @@ def main():
         os.makedirs(os.path.dirname(ns.weights_out), exist_ok=True)
         save_weights(ns.weights_out, trainer.state.enc_params,
                      trainer.state.dec_params)
+        save_render_meta(ns.weights_out)
         print(f"weights -> {ns.weights_out}", flush=True)
 
     if not ns.skip_eval:

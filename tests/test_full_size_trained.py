@@ -24,7 +24,10 @@ pytestmark = [
 
 def test_full_size_trained_slam_short_stream(tmp_path):
     sys.path.insert(0, REPO)
-    from scripts.train_full_size import RENDER, WORLD, full_eval_args
+    from scripts.train_full_size import (RENDER, WORLD,
+                                         apply_artifact_render,
+                                         full_eval_args)
+    apply_artifact_render(WEIGHTS)   # match the artifact's render settings
     from deeppointmap_tpu.data.synthetic import (circle_trajectory,
                                                  make_world,
                                                  write_npz_sequence)
