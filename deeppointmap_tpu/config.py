@@ -152,8 +152,12 @@ TPU_DEFAULTS = Config(
     # a power-of-2 stride estimates it from every stride-th source point
     # (rescaled — unbiased, ~1-2% relative noise at production sizes) and
     # shrinks the fused step's second-largest N^2 sweep by that factor.
-    # OFF (1) until the on-chip ATE A/B is recorded in PARITY.md.
-    infomat_stride=1,
+    # Default 4: -13% on the fused odometry step on-chip (16.88 ->
+    # 14.69 ms), ATE-neutral in BOTH end-to-end A/Bs (full-size two-lap:
+    # identical trajectories; demo two-lap with an optimized loop edge:
+    # 0.2094 vs 0.2093 m -- BASELINE.md round 4). Set 1 for the
+    # reference-exact full accumulation (oracle tests do).
+    infomat_stride=4,
     # data-parallel training width: "auto" = all chips on TPU hardware,
     # or an explicit device count (CPU tests/dryruns pass an int)
     data_parallel="auto",
