@@ -116,7 +116,11 @@ class InferenceEngine:
         self.filter_grade = str(tpu.get("filter_grade", "filter"))
         #: info-matrix source subsampling (1 = reference-exact full sum;
         #: power-of-2 strides estimate G^T G from every stride-th point,
-        #: ops/infomat.py). Gated OFF by default pending the on-chip A/B.
+        #: ops/infomat.py). The EFFECTIVE default comes from
+        #: TPU_DEFAULTS (stride=4 since the round-4 ATE-neutral A/Bs,
+        #: -13% on the fused odometry step); the local fallback below is
+        #: the reference-exact stride=1 and only applies when a bare tpu
+        #: dict bypasses config.TPU_DEFAULTS.
         self.infomat_stride = int(tpu.get("infomat_stride", 1))
         self.encoder = encoder or Encoder.from_config(args)
         self.decoder = decoder or Decoder.from_config(args)

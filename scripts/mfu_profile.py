@@ -84,7 +84,10 @@ def train_step_program(trials: int):
     from scripts.train_full_size import (build_eval_world, full_train_args,
                                          _build_trainer)
 
-    root = "/tmp/dpm_full_world2"
+    # dedicated root: bench.py/evaluate() build /tmp/dpm_full_world2 with
+    # the ARTIFACT's render settings; sharing it would ping-pong
+    # regenerate the world on every alternating run (advisor finding)
+    root = "/tmp/dpm_mfu_world"
     build_eval_world(root)
     args = full_train_args(root, "/tmp/dpm_mfu_train")
     # one-scene dataset is enough for a timing row
@@ -101,10 +104,14 @@ def train_step_program(trials: int):
         pass
 
     state = trainer.state
+    # run the AOT-compiled object when available: one compilation serves
+    # both cost_analysis and the timing loop (the bare jitted `step`
+    # would compile the full-shape program a second time)
+    run = compiled if compiled is not None else step
 
     def one():
         nonlocal state
-        state, m = step(state, batch)
+        state, m = run(state, batch)
         return m["loss"]
 
     ms = steady_ms(one, trials)

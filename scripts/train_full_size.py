@@ -42,31 +42,49 @@ WEIGHTS = os.path.join(REPO, "artifacts/full_size/weights_final.msgpack")
 TRAIN_SCENES = [(1, 20.0, +1), (2, 28.0, +1), (3, 35.0, +1),
                 (4, 24.0, -1), (5, 31.0, -1), (6, 18.0, -1)]
 FRAMES_PER_SCENE = 96
-#: world + render settings, shared by training, eval, bench and tests.
-#: Empirically the BEST stage-1 recipe of four full-size training runs
-#: (BASELINE.md records the sweep): compact extent-60 worlds where every
-#: 45 m scan sees most of the world -> strong registration training
-#: (top-1 0.77+). Two documented trade-offs of SYNTHETIC data at this
-#: scale: (a) a 32 m range or denser sampling collapses stage-1 top-1
-#: (token ambiguity); (b) because far-apart scans still share most
-#: visible geometry, the stage-2 overlap label carries almost no signal
-#: and the full-size loop head stays at chance -- loop closure is
-#: proven by the demo-scale model (bench demo block) whose sparse scans
-#: make far pairs disjoint.
-WORLD = dict(n_clusters=300, extent=60.0, pts_per_cluster=800)
-RENDER = dict(sensor_range=45.0, max_points=16384)
-#: --occlusion adds the renderer's first-return spherical z-buffer
-#: (data/synthetic.py): visibility becomes viewpoint-dependent
-#: (measured world-frame overlap: near pairs 0.75, across-world pairs
-#: 0.04 -- vs 0.73/0.35 without), which is what gives the stage-2
-#: overlap/loop label a learnable signal at full sensor range. The
-#: occluded task is HARDER for stage 1 (top-1 ~0.20 at the 12-epoch
-#: budget vs 0.77 un-occluded; still climbing steeply at cutoff), so
-#: occlusion training needs the longer --epochs1 24 --epochs2 8 budget
-#: (BASELINE.md round-3 notes). The committed artifact is the
-#: un-occluded recipe until an occluded run matches its registration
-#: quality.
+#: world + render + eval-trajectory settings, shared by training, eval,
+#: bench and tests. The DEFAULT (un-occluded compact) recipe was the best
+#: stage-1 recipe of four round-3 runs (BASELINE.md records the sweep):
+#: compact extent-60 worlds where every 45 m scan sees most of the world
+#: -> strong registration training (top-1 0.77+), but the stage-2
+#: overlap label carries almost no signal there (far pairs still
+#: overlap), so that artifact's loop head stays at chance.
+DEFAULT_WORLD = dict(n_clusters=300, extent=60.0, pts_per_cluster=800)
+DEFAULT_RENDER = dict(sensor_range=45.0, max_points=16384)
+DEFAULT_EVAL = dict(radius=25.0, frames_per_lap=48)
+#: mutable active settings (apply_artifact_render / --occlusion update
+#: them; they always start as copies of the defaults above)
+WORLD = dict(DEFAULT_WORLD)
+RENDER = dict(DEFAULT_RENDER)
+EVAL_WORLD = dict(DEFAULT_EVAL)
+#: --occlusion: the round-5 loop-head recipe. Two ingredients, both
+#: required (BASELINE.md round-4 findings):
+#:   1. first-return spherical z-buffer rendering (data/synthetic.py)
+#:      makes visibility viewpoint-dependent;
+#:   2. LARGE worlds (extent 120, trajectory radius 42-65 m) so the
+#:      trajectory diameter exceeds 2x the 45 m sensor range and far
+#:      same-world pairs truly disjoin. Measured visible-set IoU on this
+#:      geometry: 0.32 for pairs <10 m vs 0.013 for pairs >20 m (the
+#:      compact worlds read 0.435/0.053 -- separable, but the boundary
+#:      region 10-20 m sat at 0.25, too close to the positives).
+#: The occluded task is harder for stage 1, so this recipe needs warm
+#: starting from a trained artifact plus the longer --epochs1 24
+#: --epochs2 8 budget.
 OCCLUSION_RENDER = dict(occlusion_bins=512)
+OCCLUSION_WORLD = dict(n_clusters=1200, extent=120.0, pts_per_cluster=800)
+OCCLUSION_EVAL = dict(radius=50.0, frames_per_lap=96)
+OCCLUSION_SCENES = [(1, 45.0, +1), (2, 55.0, +1), (3, 65.0, +1),
+                    (4, 50.0, -1), (5, 60.0, -1), (6, 42.0, -1)]
+
+
+def apply_occlusion_recipe() -> None:
+    global TRAIN_SCENES
+    RENDER.update(OCCLUSION_RENDER)
+    WORLD.clear()
+    WORLD.update(OCCLUSION_WORLD)
+    EVAL_WORLD.clear()
+    EVAL_WORLD.update(OCCLUSION_EVAL)
+    TRAIN_SCENES = list(OCCLUSION_SCENES)
 
 
 def _scene_is_current(agent_dir: str, meta: dict) -> bool:
@@ -120,8 +138,10 @@ def build_training_worlds(root: str, frames: int = FRAMES_PER_SCENE):
               f"dir {direction}, {frames} frames", flush=True)
 
 
-def build_eval_world(root: str, laps: int = 2, frames_per_lap: int = 48):
-    """The bench two-lap world (seed 0) at FULL scan density."""
+def build_eval_world(root: str, laps: int = 2):
+    """The bench two-lap world (seed 0) at FULL scan density. Radius and
+    per-lap frame count come from the active EVAL_WORLD settings (which
+    follow the artifact's render_meta via apply_artifact_render)."""
     import shutil
 
     from deeppointmap_tpu.data.synthetic import (circle_trajectory,
@@ -129,38 +149,52 @@ def build_eval_world(root: str, laps: int = 2, frames_per_lap: int = 48):
                                                  write_npz_sequence)
 
     agent_dir = os.path.join(root, "scene0", "0")
-    meta = dict(seed=0, radius=25.0, laps=laps,
-                frames_per_lap=frames_per_lap, **WORLD, **RENDER)
+    meta = dict(seed=0, laps=laps, **EVAL_WORLD, **WORLD, **RENDER)
     if _scene_is_current(agent_dir, meta):
         return
     shutil.rmtree(os.path.dirname(agent_dir), ignore_errors=True)
     rng = np.random.default_rng(0)
     world = make_world(rng, **WORLD)
-    lap = circle_trajectory(frames_per_lap, radius=25.0)
+    lap = circle_trajectory(EVAL_WORLD["frames_per_lap"],
+                            radius=EVAL_WORLD["radius"])
     write_npz_sequence(root, world, lap * laps, rng=rng, **RENDER)
     _stamp_scene(agent_dir, meta)
 
 
 def apply_artifact_render(weights: str) -> None:
-    """Adopt the render settings the weights were TRAINED with (written
-    next to the artifact as render_meta.json). Evaluating an occluded
-    model on an un-occluded world (or vice versa) is a distribution
-    mismatch that silently degrades the bench accuracy block; the
-    world-dir fingerprint (_scene_is_current) regenerates the eval world
-    whenever these settings change."""
+    """Adopt the render + world settings the weights were TRAINED with
+    (written next to the artifact as render_meta.json). Evaluating an
+    occluded model on an un-occluded world (or vice versa) is a
+    distribution mismatch that silently degrades the bench accuracy
+    block; the world-dir fingerprint (_scene_is_current) regenerates the
+    eval world whenever these settings change.
+
+    ALWAYS resets to the module defaults first, so an artifact WITHOUT
+    metadata never inherits a previous artifact's settings in the same
+    process (round-4 advisor finding)."""
+    RENDER.clear()
+    RENDER.update(DEFAULT_RENDER)
+    WORLD.clear()
+    WORLD.update(DEFAULT_WORLD)
+    EVAL_WORLD.clear()
+    EVAL_WORLD.update(DEFAULT_EVAL)
     meta_path = os.path.join(os.path.dirname(weights), "render_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
-        RENDER.clear()
-        RENDER.update(meta)
+        if "render" in meta:          # v2: render + world + eval geometry
+            RENDER.update(meta["render"])
+            WORLD.update(meta.get("world", {}))
+            EVAL_WORLD.update(meta.get("eval", {}))
+        else:                          # legacy flat render-only format
+            RENDER.update(meta)
 
 
 def save_render_meta(weights_out: str) -> None:
     os.makedirs(os.path.dirname(weights_out), exist_ok=True)
     with open(os.path.join(os.path.dirname(weights_out),
                            "render_meta.json"), "w") as f:
-        json.dump(RENDER, f)
+        json.dump({"render": RENDER, "world": WORLD, "eval": EVAL_WORLD}, f)
 
 
 def _model_trees():
@@ -374,19 +408,25 @@ def main():
                     help="weights artifact path (default: the committed "
                          "artifact; point elsewhere for experiments)")
     ap.add_argument("--occlusion", action="store_true",
-                    help="render worlds with first-return occlusion "
-                         "(stage-2 loop signal; needs the longer epoch "
-                         "budget -- see OCCLUSION_RENDER note)")
+                    help="round-5 loop-head recipe: first-return "
+                         "occlusion on LARGE worlds (extent 120, "
+                         "radius 42-65 m trajectories) -- see the "
+                         "OCCLUSION_* notes; needs warm start + the "
+                         "longer epoch budget")
     ap.add_argument("--init_weights", default="",
                     help="warm-start both stages from this msgpack "
                          "artifact instead of random init")
+    ap.add_argument("--resume", default="",
+                    help="resume training from a checkpoint (pickle file "
+                         "or an orbax `checkpoints` directory from a "
+                         "previous run's --out)")
     ap.add_argument("--sweep_reuse", action="store_true",
                     help="evaluate with tpu.sweep_reuse=True (on-chip "
                          "grouping-reuse ATE A/B)")
     ns = ap.parse_args()
 
     if ns.occlusion:
-        RENDER.update(OCCLUSION_RENDER)
+        apply_occlusion_recipe()
     build_training_worlds(ns.root)
     os.makedirs(ns.out, exist_ok=True)
 
@@ -401,6 +441,10 @@ def main():
         args = full_train_args(ns.root, ns.out, ns.epochs1, ns.epochs2,
                                remat=ns.remat)
         trainer, ds = _build_trainer(args, init_weights=ns.init_weights)
+        if ns.resume:
+            trainer.load_checkpoint(ns.resume)
+            print(f"resumed from {ns.resume}: epoch {trainer.epoch}, "
+                  f"stage {trainer.stage}", flush=True)
         print(f"dataset: {len(ds)} frames; "
               f"{trainer._steps_per_epoch()} steps/epoch; "
               f"stage epochs {trainer.stage_epochs}", flush=True)
