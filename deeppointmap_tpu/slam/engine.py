@@ -39,6 +39,10 @@ DEFAULT_TILE_MEMBER_BUCKETS = (4, 8, 16)
 #: this size -- every XLA program shape is expensive to compile on this
 #: toolchain, so extraction uses only two shapes: 1 and EXTRACT_CHUNK
 DEFAULT_EXTRACT_CHUNK = 4
+#: candidate-count buckets for batched multi-candidate registration
+#: (odometer_candidates_num and per-anchor loop registration; the
+#: reference caps odometry candidates at 5, loop sources at ~3)
+DEFAULT_CAND_BUCKETS = (2, 4, 8)
 
 
 def _bucket(n: int, buckets) -> int:
@@ -77,6 +81,8 @@ class InferenceEngine:
         self.reg_buckets = tuple(tpu.get("reg_buckets", DEFAULT_REG_BUCKETS))
         self.batch_buckets = tuple(
             tpu.get("loop_batch_buckets", DEFAULT_BATCH_BUCKETS))
+        self.cand_buckets = tuple(
+            tpu.get("cand_buckets", DEFAULT_CAND_BUCKETS))
         self.extract_chunk = int(tpu.get("extract_chunk",
                                          DEFAULT_EXTRACT_CHUNK))
         # int16 fixed-point scan upload: the per-frame (P, 3) fp32 cloud +
@@ -143,6 +149,8 @@ class InferenceEngine:
                                     static_argnames=("num_pairs",))
         self._tile_tile_reg_fn = jax.jit(self._tile_tile_reg_info_impl,
                                          static_argnames=("num_pairs",))
+        self._reg_info_multi_fn = jax.jit(self._register_info_batch_impl,
+                                          static_argnames=("num_pairs",))
         self._loop_members_fn = jax.jit(self._loop_members_impl)
         # encoder output token count: coords of the FP target level
         e = args.encoder
@@ -394,6 +402,101 @@ class InferenceEngine:
             self._dev(dst_pcd, dkey("pcd")), self._dev(dst_pvalid, dkey("pv")),
             num_pairs=k_static, num_pairs_actual=jnp.int32(k_actual))
         return self._se3_resolver(out)
+
+    def _register_info_batch_impl(self, srcs_tup, svs_tup, spcds_tup,
+                                  spvs_tup, dst, dv, dst_pcd, dpv,
+                                  num_pairs, num_pairs_actual):
+        """K candidates vs ONE new scan in a single program: vmapped
+        register+info over the candidate axis. Candidate arrays arrive
+        as tuples of per-token device refs (the token cache) and stack
+        INSIDE the jit, so a batch never re-uploads cached scans."""
+        src = jnp.stack(srcs_tup)
+        sv = jnp.stack(svs_tup)
+        sp = jnp.stack(spcds_tup)
+        spv = jnp.stack(spvs_tup)
+        fn = lambda s, v, p, pv, ka: self._register_info_impl(
+            s, dst, v, dv, p, pv, dst_pcd, dpv, num_pairs, ka)
+        return jax.vmap(fn)(src, sv, sp, spv, num_pairs_actual)
+
+    def register_with_info_multi_async(self, cands, dst_desc, dst_valid,
+                                       dst_pcd, dst_pvalid, num_sample=0.5,
+                                       dst_token=None):
+        """Batched multi-candidate registration: ONE bucketed device call
+        for all candidates instead of one dispatch+fetch pair each (the
+        reference batches its loop scoring the same way,
+        loop_closure.py:166-174; per-candidate register programs run at
+        ~2.8% MFU, so batching K candidates is nearly free device time
+        while saving K-1 tunnel round-trips).
+
+        cands: list of (desc, kvalid, pcd, pvalid, token) where desc/pcd/
+        pvalid may be zero-arg callables (lazy device thunks). The
+        candidate COUNT is padded up to a compile bucket by repeating the
+        first candidate; padded results are never surfaced. Returns one
+        zero-arg resolver per REAL candidate, all backed by one program.
+        """
+        assert cands, "register_with_info_multi_async with no candidates"
+        k_real = len(cands)
+        kb = _bucket(k_real, self.cand_buckets)
+        cands = list(cands) + [cands[0]] * (kb - k_real)
+
+        srcs, svs, sps, spvs, k_actuals = [], [], [], [], []
+        mb_all = None
+        for desc, kvalid, pcd, pvalid, token in cands:
+            hit = self._dcache_probe(token, ("kp_pad", "kv_pad", "pcd",
+                                             "pv"))
+            if hit is not None:
+                kp, kv, pc, pv = hit
+                mb = kp.shape[0]
+            else:
+                kvalid = np.asarray(kvalid)
+                src, sv, mb = self._pad_tokens(self._materialize(desc),
+                                               kvalid)
+                tk = lambda name: (token, name) if token is not None \
+                    else None
+                kp = self._dev(src, tk("kp_pad"))
+                kv = self._dev(sv, tk("kv_pad"))
+                pc = self._dev(self._materialize(pcd), tk("pcd"))
+                pv = self._dev(self._materialize(pvalid), tk("pv"))
+            assert mb_all is None or mb == mb_all, (
+                "candidate token buckets diverge within one batch "
+                f"({mb} vs {mb_all}); keyframe descriptor sets share "
+                "one bucket by construction")
+            mb_all = mb
+            srcs.append(kp)
+            svs.append(kv)
+            sps.append(pc)
+            spvs.append(pv)
+            k_actuals.append(int(np.asarray(kvalid).sum()))
+
+        n_real = int(np.asarray(dst_valid).sum())
+        dstp, dvp, nb = self._pad_tokens(self._materialize(dst_desc),
+                                         np.asarray(dst_valid))
+        dk = lambda name: (dst_token, name) if dst_token is not None \
+            else None
+        k_static = num_pairs_for(mb_all, nb, num_sample)
+        k_act = np.asarray(
+            [num_pairs_for(min(m, mb_all), min(n_real, nb), num_sample)
+             for m in k_actuals], np.int32)
+        out = self._reg_info_multi_fn(
+            tuple(srcs), tuple(svs), tuple(sps), tuple(spvs),
+            self._put(dstp), self._put(dvp),
+            self._dev(self._materialize(dst_pcd), dk("pcd")),
+            self._dev(self._materialize(dst_pvalid), dk("pv")),
+            num_pairs=k_static, num_pairs_actual=self._put(k_act))
+        self._prefetch(*out)
+
+        def resolver(i):
+            def resolve():
+                R, t, conf, rmse, info = jax.device_get(
+                    jax.tree.map(lambda a: a[i], out))
+                SE3 = np.eye(4)
+                SE3[:3, :3] = np.asarray(R, np.float64)
+                SE3[:3, 3] = np.asarray(t, np.float64)
+                return SE3, float(conf), float(rmse), np.asarray(
+                    info, np.float64)
+            return resolve
+
+        return [resolver(i) for i in range(k_real)]
 
     def register_with_info(self, src_desc, src_valid, dst_desc, dst_valid,
                            src_pcd, src_pvalid, dst_pcd, dst_pvalid,

@@ -198,9 +198,12 @@ class SlamSystem:
             src_scan_token=cand.token, dst_scan_token=new_scan.token,
             SE3=se3m.inv(SE3), information_mat=info, type="odom",
             confidence=conf, rmse=rmse)
-        # extra candidates (odometer_candidates_num > 1) use the unfused path
-        for extra in candidates[1:]:
-            self.odometry.odometry(new_scan, [extra])
+        # extra candidates (odometer_candidates_num > 1): one batched
+        # device call for all of them (their edges are discarded for
+        # parity with the reference, which also only uses odom_edges[0]
+        # -- core.py:214 "Assert odometry edge contains only one edge")
+        if len(candidates) > 1:
+            self.odometry.odometry(new_scan, candidates[1:])
         self.result_logger.record_perf("odometer", time.perf_counter() - perf_t)
 
         perf_t = time.perf_counter()
@@ -480,9 +483,10 @@ class SlamSystem:
             src_scan_token=cand.token, dst_scan_token=new_scan.token,
             SE3=se3m.inv(SE3), information_mat=info, type="odom",
             confidence=conf, rmse=rmse)
-        # extra candidates (odometer_candidates_num > 1): unfused path
-        for extra in extras:
-            self.odometry.odometry(new_scan, [extra])
+        # extra candidates (odometer_candidates_num > 1): one batched
+        # device call (edges discarded for reference parity, core.py:214)
+        if extras:
+            self.odometry.odometry(new_scan, extras)
         return new_scan, odom_edge
 
     def _mt_mapping(self, q_in, q_out):

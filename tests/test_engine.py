@@ -411,3 +411,40 @@ def test_loop_scores_by_token_chunked_bounded_compiles(engine):
     # (pre-fix: one fresh executable per distinct count)
     assert (engine._loop_members_fn._cache_size()
             <= len(engine.batch_buckets))
+
+
+def test_register_multi_matches_single(engine):
+    """Batched multi-candidate registration (one vmapped bucketed program,
+    engine.register_with_info_multi_async) must reproduce the
+    per-candidate register_with_info results, including through the
+    device cache and across bucket padding (3 real candidates pad to the
+    4-bucket)."""
+    rng = np.random.default_rng(11)
+    pad = 4096
+    scale = engine.coor_scale
+
+    def scanlike(seed):
+        p, v = _cloud(np.random.default_rng(seed), 1100 + 37 * seed, pad)
+        d, ov, pv = engine.extract(p[None], v[None])
+        return d[0], ov[0], p * scale, pv[0]
+
+    cands = [scanlike(s) for s in (1, 2, 3)]
+    dstd, dstv, dpcd, dpv = scanlike(4)
+
+    singles = [engine.register_with_info(
+        d, ov, dstd, dstv, pc, pv, dpcd, dpv, num_sample=0.5)
+        for d, ov, pc, pv in cands]
+
+    for rep in range(2):     # 2nd pass exercises the token-cache branch
+        resolvers = engine.register_with_info_multi_async(
+            [(d, ov, pc, pv, 9000 + i) for i, (d, ov, pc, pv)
+             in enumerate(cands)],
+            dstd, dstv, dpcd, dpv, num_sample=0.5, dst_token=9100)
+        assert len(resolvers) == 3
+        for (SE3_s, conf_s, rmse_s, info_s), res in zip(singles, resolvers):
+            SE3_m, conf_m, rmse_m, info_m = res()
+            np.testing.assert_allclose(SE3_m, SE3_s, atol=1e-4)
+            assert conf_m == pytest.approx(conf_s, abs=1e-5)
+            assert rmse_m == pytest.approx(rmse_s, abs=1e-4)
+            np.testing.assert_allclose(info_m, info_s, rtol=1e-3,
+                                       atol=1e-3)
