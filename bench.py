@@ -299,7 +299,8 @@ def _scale(q):
                   out="/tmp/dpm_bench_scale")
     q.put({"scale": {
         "frames": s["frames"], "ate_m": s["ate_m"],
-        "loop_edges": s["loop_edges"], "keyframes": s["keyframes"],
+        "loop_edges": s["loop_edges"],
+        "loop_floor_ok": s["loop_floor_ok"], "keyframes": s["keyframes"],
         "scans_per_sec_first_block": s["scans_per_sec_first_block"],
         "scans_per_sec_last_block": s["scans_per_sec_last_block"],
         "rss_growth_mb": round(s["rss_last_block_mb"]

@@ -376,6 +376,20 @@ class LoopClosureModule:
         # behavior.
         self.attempt_gap = int(self.ss.get("loop_detection_attempt_gap", 0))
         self.last_attempt_pose_num = -self.attempt_gap - 1
+        # gate-by-gate observability (scale_run / bench print these):
+        # counts where candidates die between "keyframe exists" and
+        # "verified loop edge", plus the best score ever seen so a
+        # too-high prob threshold is visible even at 0 edges
+        self.stats = {
+            "attempts": 0, "candidates": 0, "after_distance": 0,
+            "after_trust": 0, "scored_pass_prob": 0, "registered": 0,
+            "verified": 0, "best_prob": 0.0, "rej_confidence": 0,
+            "rej_sigma_trans": 0, "rej_sigma_rot": 0,
+        }
+        #: (confidence, rmse) of the most recent registered loop edges,
+        #: BEFORE verification -- shows how far rejects sit from the
+        #: acceptance gates
+        self.recent_edges: List[Tuple[float, float]] = []
 
     def process(self, new_scan: ScanPack,
                 targets: Literal["self", "others", "all"] = "all"):
@@ -391,9 +405,15 @@ class LoopClosureModule:
                     <= self.attempt_gap):
                 return []
             self.last_attempt_pose_num = pg.key_frame_num
+        self.stats["attempts"] += 1
         candidates = self.loop_closure_detection(new_scan, targets)
         edges = self.loop_closure_registration(new_scan, candidates)
+        self.stats["registered"] += len(edges)
+        for e in edges:
+            self.recent_edges.append((float(e.confidence), float(e.rmse)))
+        del self.recent_edges[:-50]
         validated = self.loop_closure_verification(edges)
+        self.stats["verified"] += len(validated)
         if validated:
             self.required_optim = True
             for e in validated:
@@ -423,6 +443,7 @@ class LoopClosureModule:
             cands = [s for s in cands if s.agent_id != new_scan.agent_id]
         elif targets != "all":
             raise RuntimeError(f"unknown targets: {targets}")
+        self.stats["candidates"] += len(cands)
         if not cands:
             return []
 
@@ -445,6 +466,7 @@ class LoopClosureModule:
                                  for s in cands])
             mask &= (d <= ss.loop_detection_pred_distance) | diff_sys
         cands = [c for c, m in zip(cands, mask) if m]
+        self.stats["after_distance"] += len(cands)
         if not cands:
             return []
 
@@ -466,6 +488,7 @@ class LoopClosureModule:
                     if np.linalg.norm(gap) < ss.loop_detection_transaction_gap:
                         continue
             valid.append(prev)
+        self.stats["after_trust"] += len(valid)
         if not valid:
             return []
 
@@ -483,10 +506,14 @@ class LoopClosureModule:
             dv = np.repeat(new_scan.key_valid[None], len(valid), 0)
             probs = self.engine.loop_scores(src, dst, sv, dv)
 
+        self.stats["best_prob"] = max(self.stats["best_prob"],
+                                      float(np.max(probs)))
         k = min(ss.loop_detection_candidates_num, len(valid))
         top = np.argsort(probs)[::-1][:k]
-        return [valid[i] for i in top
-                if probs[i] > ss.loop_detection_prob_acpt_threshold]
+        picked = [valid[i] for i in top
+                  if probs[i] > ss.loop_detection_prob_acpt_threshold]
+        self.stats["scored_pass_prob"] += len(picked)
+        return picked
 
     def loop_closure_registration(self, new_scan: ScanPack,
                                   scan_list: List[ScanPack]
@@ -590,6 +617,7 @@ class LoopClosureModule:
         out = []
         for e in edge_list:
             if e.confidence < self.ss.loop_detection_confidence_acpt_threshold:
+                self.stats["rej_confidence"] += 1
                 continue
             dist = pg.shortest_path_length(e.src_scan_token, e.dst_scan_token,
                                            edge_type=["odom", "loop"],
@@ -602,9 +630,11 @@ class LoopClosureModule:
                 sq = math.sqrt(max(dist, 1))
                 if (np.linalg.norm(dT) / (self.TRANS_STD * sq) > 3
                         and dist < 100):
+                    self.stats["rej_sigma_trans"] += 1
                     continue
                 if (se3m.rotation_angle(dR) * 180 / math.pi
                         / (self.ROT_STD * sq) > 3):
+                    self.stats["rej_sigma_rot"] += 1
                     continue
             out.append(e)
         return out

@@ -123,7 +123,17 @@ def run_scale(frames: int = 1200, block: int = 100,
     # rate-limit loop ATTEMPTS (scoring + map-vs-map registration share
     # the single chip with the odometer): ~40+ keyframes/lap still gives
     # 10+ attempts per revisit lap
-    args.slam_system.loop_detection_attempt_gap = 3
+    args.slam_system.loop_detection_attempt_gap = 2
+    # Demo-model calibration for the loop-edge REGRESSION CANARY
+    # (round-5 diagnosis): the demo model's map-vs-map registration
+    # confidence sits marginally around the production 0.3 gate (good
+    # revisit edges measure 0.25-0.34, junk ones 0.13-0.17 with rmse
+    # 8-19 m), so at 0.3 the verified-edge count was a coin flip (r3
+    # 1200-frame run: 8 edges; r4 300-frame bench: 0). At 0.25 the good
+    # edges pass deterministically while the junk stays rejected by the
+    # confidence gate AND sigma-verification (revisit graph distances
+    # here are < 100, so the translation check is always armed).
+    args.slam_system.loop_detection_confidence_acpt_threshold = 0.25
     args.tpu["retain_nonkeyframe_pcd"] = bool(retain_pcd)
 
     wpath = os.path.join(REPO, "artifacts/synthetic_demo/"
@@ -200,6 +210,11 @@ def run_scale(frames: int = 1200, block: int = 100,
                 int(pg.get_scanpack(e.dst_scan_token).timestep)]
                for e in pg.get_all_edges() if e.type == "loop"]
     say("loop edges (src ts, dst ts): " + json.dumps(loop_ts))
+    say("loop gate stats: " + json.dumps(
+        {k: round(v, 3) if isinstance(v, float) else v
+         for k, v in system.loop.stats.items()}))
+    say("recent loop edges (conf, rmse): " + json.dumps(
+        [[round(c, 3), round(r, 3)] for c, r in system.loop.recent_edges]))
 
     if not blocks:   # --frames smaller than one --block
         blocks = [dict(frames=pg.all_frame_num, scans_per_sec=-1.0,
@@ -210,6 +225,13 @@ def run_scale(frames: int = 1200, block: int = 100,
     summary = dict(
         frames=pg.all_frame_num, keyframes=pg.key_frame_num,
         loop_edges=pg.loop_edge_num, ate_m=round(ate, 4),
+        # regression-canary floor: the loop pipeline must keep verifying
+        # revisits on this 3-lap stream (round-5 calibration above);
+        # a reading of false in BENCH_r*.json means detection, map-vs-map
+        # registration, or verification regressed
+        loop_floor_ok=pg.loop_edge_num >= 2,
+        loop_gate_stats={k: round(v, 3) if isinstance(v, float) else v
+                         for k, v in system.loop.stats.items()},
         retain_nonkeyframe_pcd=bool(retain_pcd),
         scans_per_sec_first_block=first["scans_per_sec"],
         scans_per_sec_last_block=last["scans_per_sec"],
