@@ -172,10 +172,14 @@ def _accuracy(q):
     """Closed-loop SLAM accuracy with TRAINED weights on a deterministic
     two-lap synthetic world, with and without loop closure.
 
-    Runs the FULL-SIZE DeepPointMap-B model (artifacts/full_size/,
-    trained at production shapes by scripts/train_full_size.py) on the
-    full-density eval world; falls back to the small demo model
-    (artifacts/synthetic_demo/) if the full-size artifact is absent."""
+    Runs the FULL-SIZE DeepPointMap-B model on the full-density eval
+    world; falls back to the small demo model (artifacts/synthetic_demo/)
+    if no full-size artifact is present. The primary artifact is the
+    round-5 OCCLUDED model (artifacts/full_size_occ_v2/: extent-120
+    z-buffer-rendered worlds + warm start + robust register -- the first
+    full-size artifact whose loop head fires: ATE 4.52 m with 1 verified
+    loop edge vs 6.06 m loops-off, BASELINE.md round 5), with the
+    round-3 un-occluded model (artifacts/full_size/) as fallback."""
     import os
     import sys
 
@@ -196,7 +200,10 @@ def _accuracy(q):
     from deeppointmap_tpu.slam.engine import InferenceEngine
     from deeppointmap_tpu.utils.evaluation import ate_rmse
 
-    full_w = os.path.join(repo, "artifacts/full_size/weights_final.msgpack")
+    full_w = next((p for p in (
+        os.path.join(repo, "artifacts/full_size_occ_v2/weights_final.msgpack"),
+        os.path.join(repo, "artifacts/full_size/weights_final.msgpack"),
+    ) if os.path.exists(p)), "")
     demo_w = os.path.join(repo, "artifacts/synthetic_demo/"
                                 "weights_final.msgpack")
 
@@ -227,7 +234,7 @@ def _accuracy(q):
         return blk
 
     out = None
-    if os.path.exists(full_w):
+    if full_w:
         # PRIMARY: the full-size DeepPointMap-B model trained at
         # production shapes (scripts/train_full_size.py) on its
         # full-density eval world
@@ -242,10 +249,9 @@ def _accuracy(q):
                         full_w, root)
         out["model"] = "full_size_B"
     if os.path.exists(demo_w):
-        # demo-scale block: sparse scans make far pairs disjoint, so this
-        # is where the trained LOOP-CLOSURE signal lives (the full-size
-        # synthetic worlds leave the overlap label uninformative --
-        # BASELINE.md documents the geometry sweep)
+        # demo-scale block: the original loop-closure regression signal
+        # (sparse scans, compact world). Kept as a second, cheaper canary
+        # now that the full-size occluded block also fires loops.
         from deeppointmap_tpu.data.synthetic import (circle_trajectory,
                                                      make_world,
                                                      write_npz_sequence)
@@ -270,7 +276,7 @@ def _accuracy(q):
         else:
             out["demo"] = demo_blk
     if out is None:
-        q.put({"error": f"no weights artifact at {full_w} or {demo_w}"})
+        q.put({"error": f"no weights artifact under {repo}/artifacts"})
         return
     q.put({"accuracy": out})
 

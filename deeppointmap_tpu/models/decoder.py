@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from deeppointmap_tpu.models.common import MultiHeadAttention, sine_pos_embedding
-from deeppointmap_tpu.ops.kabsch import weighted_kabsch
+from deeppointmap_tpu.ops.kabsch import ransac_kabsch, weighted_kabsch
 
 _CONF_TOPK = 30  # simvec_to_num: mean of top-30 inlier confidences
                  # (reference: system/modules/utils.py:18)
@@ -139,13 +139,21 @@ class Decoder(nn.Module):
     attention_layers: int = 3
     tau: float = 0.1
     eps_offset: float = 2.0
+    #: tpu.robust_register: replace the reference's mean+3-sigma trimmed
+    #: Kabsch with confidence-seeded RANSAC (ops.kabsch.ransac_kabsch).
+    #: Needed when matches carry heavy confident-outlier contamination
+    #: (viewpoint-dependent visibility under occlusion); reference-exact
+    #: solver when False.
+    robust_register: bool = False
 
     @classmethod
     def from_config(cls, args) -> "Decoder":
         d = args.decoder
+        tpu = args.get("tpu", {}) if hasattr(args, "get") else {}
         return cls(in_channel=d.in_channel, model_channel=d.model_channel,
                    attention_layers=d.attention_layers, tau=args.loss.tau,
-                   eps_offset=args.loss.eps_offset)
+                   eps_offset=args.loss.eps_offset,
+                   robust_register=bool(tpu.get("robust_register", False)))
 
     def setup(self):
         self.projection = nn.Dense(self.model_channel)
@@ -239,7 +247,8 @@ class Decoder(nn.Module):
             pair_ok = pair_ok & (jnp.arange(num_pairs) < num_pairs_actual)
         valid2 = jnp.concatenate([ok_s2d & pair_ok, ok_d2s & pair_ok], axis=0)
 
-        R, t, inlier, rmse = weighted_kabsch(src_coor, dst_coor, conf2, valid2)
+        solver = ransac_kabsch if self.robust_register else weighted_kabsch
+        R, t, inlier, rmse = solver(src_coor, dst_coor, conf2, valid2)
 
         # confidence = mean of the FIRST 30 inlier confidences in index
         # order (simvec_to_num takes sim_vec.flatten()[:30], reference:

@@ -109,3 +109,76 @@ def weighted_kabsch(
     n_in = jnp.maximum(jnp.sum(inlier.astype(jnp.float32)), 1.0)
     rmse = jnp.sqrt(jnp.sum(jnp.where(inlier, err2, 0.0)) / n_in)
     return R, t, inlier, rmse
+
+
+def ransac_kabsch(
+    src: jnp.ndarray,    # (K, 3) source points
+    dst: jnp.ndarray,    # (K, 3) target points
+    weight: jnp.ndarray, # (K,) pairing confidence, >= 0
+    valid: jnp.ndarray,  # (K,) bool; padded/rejected pairs are False
+    n_hyp: int = 1024,
+    tau: float = 0.5,
+    refine_taus: tuple = (0.75, 0.5, 0.4),
+):
+    """Robust drop-in for `weighted_kabsch` (same signature/returns) for
+    heavily contaminated correspondence sets.
+
+    The reference's mean+3-sigma trimming assumes mostly-inlier matches;
+    under viewpoint-dependent visibility (occluded LiDAR) dual-softmax
+    matches carry 50-80% confident outliers and the trimmed solve is
+    biased toward identity (measured: sep-1 frames t_err p50 0.25 m ->
+    ATE 42.9 m two-lap). This solver: confidence-seeded 3-point
+    hypotheses (Gumbel top-k over log-confidence), weighted consensus at
+    `tau` meters, then masked re-solves at annealed `refine_taus`.
+    Fixed-shape throughout: (n_hyp, K) residual matrix lives in
+    registers/VMEM, the n_hyp 3x3 SVDs vmap on the VPU. Deterministic
+    (constant fold key) so registration stays reproducible.
+
+    Offline shootout vs the reference rule on dumped occluded-eval
+    correspondence sets (scripts/solver_lab.py, BASELINE.md round 5):
+    t_err p50/p90 at 3.3 m frame separation 0.25/0.94 -> 0.042/0.073 m;
+    at 6.5 m 1.17/4.46 -> 0.041/0.103 m; GT-oracle floor 0.057 m.
+
+    Reported rmse = inlier rmse / weighted inlier fraction. A raw
+    inlier-only rmse saturates at "perfect" (<0.25 m) even when the
+    consensus covers almost nothing -- measured on-chip: 13 m-separation
+    failures (t_err 11.7 m) report rmse 0.24, identical to correct
+    solves, blinding every reference gate (edge_rmse_drop, the keyframe
+    EMA, s2m acceptance). Dividing by coverage restores graceful
+    degradation: good occluded solves ~0.4-0.6, failures >2 (diag of
+    2026-08-19), so reference-style thresholds separate them again.
+    """
+    k = src.shape[0]
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    w_masked = jnp.where(valid, weight.astype(jnp.float32), 0.0)
+
+    key = jax.random.PRNGKey(0)
+    logits = (jnp.log(jnp.maximum(w_masked, 1e-9))[None, :]
+              + jax.random.gumbel(key, (n_hyp, k)))
+    _, hyp_idx = jax.lax.top_k(logits, 3)                     # (H, 3)
+    ones3 = jnp.ones((3,), jnp.float32)
+    Rh, th = jax.vmap(lambda s, d: _solve_rt(s, d, ones3))(
+        src[hyp_idx], dst[hyp_idx])
+    res = jnp.linalg.norm(
+        jnp.einsum("hij,kj->hki", Rh, src,
+                   precision=jax.lax.Precision.HIGHEST)
+        + th[:, None, :] - dst[None], axis=-1)                # (H, K)
+    score = jnp.sum((res < tau) * w_masked[None, :], axis=-1)
+    best = jnp.argmax(score)
+    R, t = Rh[best], th[best]
+
+    inlier = valid
+    for tr in refine_taus:
+        err = jnp.linalg.norm(_apply_rt(src, R, t) - dst, axis=-1)
+        inlier = (err < tr) & valid
+        R, t = _solve_rt(src, dst, w_masked * inlier)
+
+    err2 = jnp.sum((_apply_rt(src, R, t) - dst) ** 2, axis=-1)
+    inlier = (jnp.sqrt(err2) < refine_taus[-1]) & valid
+    n_in = jnp.maximum(jnp.sum(inlier.astype(jnp.float32)), 1.0)
+    rmse_in = jnp.sqrt(jnp.sum(jnp.where(inlier, err2, 0.0)) / n_in)
+    frac_w = (jnp.sum(w_masked * inlier)
+              / jnp.maximum(jnp.sum(w_masked), 1e-9))
+    rmse = rmse_in / jnp.clip(frac_w, 1.0 / 64.0, 1.0)
+    return R, t, inlier, rmse

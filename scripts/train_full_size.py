@@ -274,7 +274,14 @@ def full_eval_args(root: str, out_dir: str):
         slam_system=dict(
             coor_scale=60,
             odometer_candidates_num=1, registration_sample_odometer=0.5,
-            edge_confidence_drop=0.0, edge_rmse_drop=5.0,
+            # gates calibrated to the ROBUST solver's coverage-scaled
+            # rmse (ops/kabsch.ransac_kabsch): on-chip diag 2026-08-19,
+            # good occluded solves rmse 0.43-0.49 / conf 0.83-0.87;
+            # 13 m+ failures rmse 2.2-2.4 / conf 0.56. rmse_drop=1.0
+            # rejects every measured failure and none of the good
+            # solves; the keyframe EMA then settles spacing at
+            # ~0.55 ratio (2-3 m), inside the solver's reliable range.
+            edge_confidence_drop=0.3, edge_rmse_drop=1.0,
             max_continuous_drop_scan=5,
             continuous_drop_scan_strategy="recover",
             key_frame_distance="auto", key_frame_distance_0=4.0,
@@ -295,7 +302,10 @@ def full_eval_args(root: str, out_dir: str):
             registration_sample_loop=0.5,
             loop_detection_confidence_acpt_threshold=0.3,
             enable_global_optimization=True, global_optimization_gap=0),
-        tpu={},
+        # the robust RANSAC solve is the default for full-size synthetic
+        # evals: the occluded regime's confident-outlier contamination
+        # defeats the reference trimming rule (BASELINE.md round 5)
+        tpu={"robust_register": True},
         infer_src=[os.path.join(root, "scene0", "0")],
         infer_tgt=out_dir, weight="", checkpoint="", multi_thread=False,
         num_workers=2, profile=False,

@@ -4,7 +4,7 @@ import pytest
 
 from deeppointmap_tpu.ops.neighbors import pairwise_dist2, knn, hybrid_query, group_points
 from deeppointmap_tpu.ops.sampling import farthest_point_sampling
-from deeppointmap_tpu.ops.kabsch import weighted_kabsch
+from deeppointmap_tpu.ops.kabsch import ransac_kabsch, weighted_kabsch
 from deeppointmap_tpu.ops.infomat import information_matrix
 from deeppointmap_tpu.utils import se3 as s
 
@@ -164,6 +164,76 @@ class TestKabsch:
         Rj, tj, inl, rmse = weighted_kabsch(
             jnp.asarray(src_p), jnp.asarray(dst_p), jnp.asarray(w_p), jnp.asarray(valid))
         assert np.allclose(np.asarray(Rj), R, atol=1e-4)
+        assert not np.asarray(inl)[128:].any()
+
+    def test_ransac_heavy_contamination(self, rng):
+        """ransac_kabsch must recover the motion where the reference
+        trimming rule cannot: >50% CONFIDENT outliers (the occluded-eval
+        regime diagnosed in BASELINE.md round 5)."""
+        k = 256
+        R = s.so3_exp(rng.normal(size=3) * 0.2)
+        t = rng.normal(size=3) * 3
+        src = rng.normal(size=(k, 3)) * 15
+        dst = src @ R.T + t + rng.normal(size=(k, 3)) * 0.02
+        bad = rng.choice(k, 150, replace=False)   # 59% outliers...
+        dst[bad] += rng.normal(size=(150, 3)) * 4
+        w = np.clip(rng.uniform(0.4, 1.0, size=k), 0, 1)  # ...all confident
+        valid = np.ones(k, bool)
+        Rj, tj, inl, rmse = ransac_kabsch(
+            jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32),
+            jnp.asarray(w, jnp.float32), jnp.asarray(valid))
+        assert s.rotation_angle(np.asarray(Rj, np.float64).T @ R) < 0.01
+        assert np.linalg.norm(np.asarray(tj) - t) < 0.1
+        # reported rmse = inlier rmse / weighted coverage: ~0.03/0.4
+        assert float(rmse) < 0.2
+        # inliers exclude (nearly) all planted outliers
+        assert np.asarray(inl)[bad].sum() <= 3
+
+    def test_ransac_rmse_degrades_with_coverage(self, rng):
+        """The reported rmse must rise as the consensus covers less of
+        the confident weight -- the signal the SLAM gates/keyframe EMA
+        rely on (a coverage-blind inlier rmse reads 'perfect' on 13 m
+        failures; BASELINE.md round 5)."""
+        def solve_with_outlier_count(n_bad):
+            r = np.random.default_rng(7)
+            k = 256
+            R = s.so3_exp(np.array([0.05, -0.1, 0.2]))
+            t = np.array([1.0, -2.0, 0.5])
+            src = r.normal(size=(k, 3)) * 15
+            dst = src @ R.T + t + r.normal(size=(k, 3)) * 0.02
+            bad = r.choice(k, n_bad, replace=False)
+            dst[bad] += r.normal(size=(n_bad, 3)) * 8
+            w = np.full(k, 0.9, np.float32)
+            _, _, _, rmse = ransac_kabsch(
+                jnp.asarray(src, jnp.float32), jnp.asarray(dst, jnp.float32),
+                jnp.asarray(w), jnp.ones(k, bool))
+            return float(rmse)
+        clean, half, most = (solve_with_outlier_count(n)
+                             for n in (0, 128, 224))
+        assert clean < half < most
+        assert most > 4 * clean
+
+    def test_ransac_matches_weighted_on_clean(self, rng):
+        """On a clean low-noise problem both solvers agree (safe to flip
+        the tpu.robust_register default later if A/Bs stay neutral)."""
+        src, dst, w, R, t = self._make_problem(rng, noise=0.01)
+        valid = np.ones(len(src), bool)
+        Rr, tr, _, _ = ransac_kabsch(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w),
+            jnp.asarray(valid))
+        assert s.rotation_angle(np.asarray(Rr, np.float64).T @ R) < 0.005
+        assert np.linalg.norm(np.asarray(tr) - t) < 0.05
+
+    def test_ransac_padded_pairs_ignored(self, rng):
+        src, dst, w, R, t = self._make_problem(rng, k=128)
+        src_p = np.concatenate([src, np.zeros((64, 3), np.float32)])
+        dst_p = np.concatenate([dst, rng.normal(size=(64, 3)).astype(np.float32) * 100])
+        w_p = np.concatenate([w, np.ones(64, np.float32)])
+        valid = np.concatenate([np.ones(128, bool), np.zeros(64, bool)])
+        Rj, tj, inl, _ = ransac_kabsch(
+            jnp.asarray(src_p), jnp.asarray(dst_p), jnp.asarray(w_p),
+            jnp.asarray(valid))
+        assert np.allclose(np.asarray(Rj), R, atol=1e-3)
         assert not np.asarray(inl)[128:].any()
 
     def test_fp32_vs_fp64_oracle(self, rng):
