@@ -46,6 +46,20 @@ APPROX_TOPK_ON_TPU = True
 #: another ~1.1 ms off the preprocessing chain.
 _GRADE_RECALL = {"fast": 0.95, "filter": 0.9}
 
+#: A/B switch: fast/filter-grade knn at fused-kernel-supported shapes
+#: (ops/pallas_knn.supported) runs the single-pass Pallas kernel -- the
+#: (centers, points) distance tile stays in VMEM instead of being
+#: materialized between the distance matmul and top-k. Default OFF:
+#: measured on-chip 2026-08-19 (scripts/ab_pallas_knn.py), the win is
+#: marginal -- preprocess 6.35->5.88 ms, extract 13.69->13.58, fused
+#: odometry 15.15->14.98 (~1%) -- because XLA already fuses the
+#: distance tile into approx_max_k well enough that there is little
+#: HBM round-trip to save; the shared floor is the K=3 matmul itself.
+#: Recall/rounding are at parity with the XLA fast path
+#: (tests/test_pallas_knn.py + scripts/check_pallas_knn_tpu.py); flip
+#: on where the ~1% matters more than the extra approximation class.
+USE_PALLAS_KNN = False
+
 
 def _fast(grade: str) -> bool:
     """Non-exact grades are TPU-only: CPU (the oracle-test backend) always
@@ -127,6 +141,13 @@ def knn(
     already does).
     """
     s = centers.shape[0]
+    if _fast(grade) and USE_PALLAS_KNN:
+        from deeppointmap_tpu.ops import pallas_knn
+        if pallas_knn.supported(points.shape[0], s) and k <= 512:
+            idx, dist2 = pallas_knn.fused_knn_moments(
+                points, points_valid, centers, k)
+            return idx, dist2
+
     if s <= center_chunk:
         return _neighbor_topk(
             _masked_dist2(centers, points, points_valid, grade), k, grade)

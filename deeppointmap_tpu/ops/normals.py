@@ -136,6 +136,15 @@ def filter_sweep(pts, valid, k: int, radius: float, grade: str,
     n = pts.shape[0]
     pts = pts.astype(jnp.float32)
 
+    if k > 0 and _fast(grade):
+        # fused single-pass kernel (ops/pallas_knn.py): distance tile
+        # stays in VMEM across BOTH consumers (top-k and moments)
+        from deeppointmap_tpu.ops import neighbors, pallas_knn
+        if (neighbors.USE_PALLAS_KNN and pallas_knn.supported(n, n)
+                and k <= 512):
+            return pallas_knn.fused_knn_moments(
+                pts, valid, pts, k, radius if radius > 0 else 0.0)
+
     if k > 0 and _fast(grade) and USE_PALLAS_SWEEP:
         from deeppointmap_tpu.ops import pallas_sweep
 
