@@ -177,6 +177,22 @@ def main(argv=None):
     else:
         cloud = run_inproc(args)
 
+    # gate-by-gate observability for the cross-agent merge: where the
+    # cloud's loop candidates die (reference merge: core.py:466-514)
+    logger.info("cloud loop funnel: %s", cloud.loop.stats)
+    if cloud.loop.recent_edges:
+        logger.info("cloud recent (conf, rmse) pre-verification: %s",
+                    [(round(c, 3), round(r, 3))
+                     for c, r in cloud.loop.recent_edges[-12:]])
+    loop_edges = [dict(src=int(e.src_scan_token), dst=int(e.dst_scan_token),
+                       conf=float(e.confidence or 0.0),
+                       rmse=float(e.rmse or 0.0), SE3=e.SE3.tolist())
+                  for e in cloud.posegraph_map.get_all_edges()
+                  if e.type == "loop"]
+    import json as _json
+    with open(os.path.join(args.infer_tgt, "cloud", "loop_edges.json"),
+              "w") as f:
+        _json.dump(loop_edges, f)
     cloud.result_logger.save_trajectory("cloud_trajectory")
     cloud.result_logger.save_posegraph("cloud_trajectory")
     try:

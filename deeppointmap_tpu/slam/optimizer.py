@@ -265,6 +265,39 @@ def optimize_pose_graph(
     return T
 
 
+def spanning_tree_init(poses: np.ndarray, edges,
+                       anchor: int) -> np.ndarray:
+    """BFS spanning-tree re-initialization: each node's pose composed
+    from its parent through the connecting edge measurement. Nodes not
+    reachable from the anchor keep their current estimates.
+
+    This exists for MERGED multi-agent graphs (PoseGraph.uncertain):
+    incremental cross-coordinate-system merges can seed LM inside a
+    wrong local minimum whose total chi2 is indistinguishable from the
+    right one (measured on the synthetic 3-agent world: saved state
+    chi2 80606 / merged ATE 14.8 m vs tree-init chi2 80931 / ATE
+    3.8 m with IDENTICAL σ-verified loop edges -- scripts/
+    ma_merge_lab.py). The objective cannot discriminate, so the
+    initialization decides; odometry-composed seeding from the anchor
+    is deterministic and basin-correct."""
+    out = poses.copy()
+    adj: dict = {}
+    for i, j, Z, _info, _w in edges:
+        adj.setdefault(i, []).append((j, Z, False))
+        adj.setdefault(j, []).append((i, Z, True))
+    vis = {anchor}
+    bfs = [anchor]
+    while bfs:
+        u = bfs.pop(0)
+        for v, Z, inverted in adj.get(u, []):
+            if v in vis:
+                continue
+            vis.add(v)
+            out[v] = out[u] @ (np.linalg.inv(Z) if inverted else Z)
+            bfs.append(v)
+    return out
+
+
 def load_g2o(path: str):
     """Parse a g2o SE3:QUAT file -> (tokens, poses (V,4,4), edges list).
     Counterpart of PoseGraph.to_g2o_file; also reads files exported by the

@@ -513,9 +513,31 @@ class PoseGraph:
                 # the reference marks every edge certain (uncertain=False,
                 # pose_graph.py:597), so preference_loop_closure=2.0 has no
                 # effect there; weight all edges equally
+                info = e.information_mat
+                if self.uncertain:
+                    # merged multi-agent graph: ISOTROPIC weights. The
+                    # GᵀG information estimates are overconfident and
+                    # anisotropic enough that the MLE objective prefers
+                    # a metrically-distorted merge: measured on the
+                    # synthetic 3-agent world, chi2(GT config) = 202M vs
+                    # 52.8k at an ATE-8m solution, and the good basin
+                    # (ATE 3.8 m) is found from ANY initialization only
+                    # with identity info; unit-trace normalization
+                    # (eigenstructure kept) stays distorted at 7.8 m
+                    # (scripts/ma_merge_lab.py, BASELINE.md round 5).
+                    info = np.eye(6)
                 edges.append((token_to_idx[e.src_scan_token],
                               token_to_idx[e.dst_scan_token],
-                              e.SE3, e.information_mat, 1.0))
+                              e.SE3, info, 1.0))
+        if self.uncertain:
+            # re-seed by spanning tree from the anchor before LM --
+            # incremental coordinate-system merges otherwise strand the
+            # solve far from the merged basin (scripts/ma_merge_lab.py
+            # measurements in the docstring of spanning_tree_init)
+            from deeppointmap_tpu.slam.optimizer import spanning_tree_init
+
+            poses = spanning_tree_init(poses, edges,
+                                       token_to_idx[base_token])
         new_poses = optimize_pose_graph(poses, edges,
                                         fixed_idx=token_to_idx[base_token])
 

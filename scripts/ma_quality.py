@@ -143,6 +143,17 @@ def main() -> None:
         merged_ate_m=round(float(ate_rmse(pred, gtm, align=True)), 4),
     )
 
+    # per-agent aligned ATE: each agent's sub-trajectory scored on its
+    # own (healthy odometry shows up here even when the merge fails)
+    for a in range(1, ns.agents + 1):
+        sub = sorted((g, T) for g, ag, T in rows if ag == a)
+        if len(sub) >= 3:
+            p = np.stack([T for _, T in sub])
+            g_idx = [g for g, _ in sub]
+            res[f"agent{a}_ate_m"] = round(
+                float(ate_rmse(p, gt[g_idx], align=True)), 4)
+            res[f"agent{a}_frames"] = len(sub)
+
     # cross-agent seam consistency: same global frame seen by 2 agents
     by_frame = {}
     for g, a, T in rows:
@@ -161,6 +172,42 @@ def main() -> None:
         res["seam_frames"] = len(seam_t)
         res["seam_trans_max_m"] = round(max(seam_t), 4)
         res["seam_rot_max_deg"] = round(max(seam_r), 3)
+
+    # GT error of every accepted loop edge (synthetic runs dump
+    # loop_edges.json next to the g2o): edge SE3 vs the GT relative
+    # pose between the two frames -- separates "bad edges won" from
+    # "optimizer failed" when a merge reads poorly
+    ej = os.path.join(os.path.dirname(ns.g2o), "loop_edges.json")
+    if ns.gt_root and os.path.exists(ej):
+        with open(ej) as f:
+            edges = json.load(f)
+        errs = []
+        for e in edges:
+            gs = split_start(ns.frames, ns.agents,
+                             (e["src"] >> 16) - 1) + (e["src"] & 0xFFFF)
+            gd = split_start(ns.frames, ns.agents,
+                             (e["dst"] >> 16) - 1) + (e["dst"] & 0xFFFF)
+            if gs >= ns.frames or gd >= ns.frames:
+                continue
+            D = np.linalg.inv(np.linalg.inv(gt[gs]) @ gt[gd]) @ \
+                np.asarray(e["SE3"])
+            t = float(np.linalg.norm(D[:3, 3]))
+            cos = (np.trace(D[:3, :3]) - 1.0) / 2.0
+            r = float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+            cross = (e["src"] >> 16) != (e["dst"] >> 16)
+            errs.append(dict(conf=round(e["conf"], 3),
+                             rmse=round(e["rmse"], 3),
+                             t_err=round(t, 3), r_err=round(r, 2),
+                             cross=cross))
+        if errs:
+            t_all = np.array([x["t_err"] for x in errs])
+            res["loop_edges"] = len(errs)
+            res["loop_cross_agent"] = int(sum(x["cross"] for x in errs))
+            res["loop_t_err_p50"] = round(float(np.median(t_all)), 3)
+            res["loop_t_err_max"] = round(float(t_all.max()), 3)
+            res["loop_bad_1m"] = int((t_all > 1.0).sum())
+            for x in sorted(errs, key=lambda x: -x["t_err"])[:8]:
+                print("LOOP_EDGE", json.dumps(x))
 
     print("MA_QUALITY " + json.dumps(res))
 

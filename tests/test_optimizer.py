@@ -115,3 +115,97 @@ def test_optimize_at_kitti_scale():
           f"{drift1:.2f} m")
     assert drift1 < 0.3 * drift0, (drift0, drift1)
     assert dt < 120, dt
+
+
+def test_spanning_tree_init_seats_disconnected_chain():
+    """Two agent chains in one graph, linked by a correct cross-agent
+    edge; the second chain is initialized at the wrong place (its own
+    origin, as a just-merged coordinate system is). Tree init must seat
+    it through the linking edge."""
+    from deeppointmap_tpu.slam.optimizer import spanning_tree_init
+
+    rng = np.random.default_rng(3)
+    gt, init, edges = _circle_graph(rng=rng)
+    n = gt.shape[0]
+    # second "agent": same circle shifted +100 in x, initialized at its
+    # own origin (identity-anchored), exact odometry
+    off = np.eye(4)
+    off[0, 3] = 100.0
+    gt2 = np.stack([off @ T for T in gt])
+    init2 = np.stack([gt[0] @ se3m.inv(gt2[0]) @ T for T in gt2])
+    edges2 = [(n + k, n + k + 1, se3m.inv(gt2[k]) @ gt2[k + 1],
+               np.eye(6), 1.0) for k in range(n - 1)]
+    # one exact cross-agent loop edge
+    link = [(5, n + 5, se3m.inv(gt[5]) @ gt2[5], np.eye(6), 1.0)]
+
+    poses = np.concatenate([init, init2], 0)
+    seeded = spanning_tree_init(poses, edges + edges2 + link, anchor=0)
+    # chain 2 now sits near its GT band (odometry noise of chain 1
+    # accumulates into the seed, so the tolerance is meters, not mm)
+    err = np.linalg.norm(seeded[n:, :3, 3] - gt2[:, :3, 3], axis=1)
+    assert err.max() < 8.0  # vs ~100 m unseated
+    # and unreachable nodes would have kept their init (all reachable here)
+    out = optimize_pose_graph(seeded, edges + edges2 + link, fixed_idx=0)
+    assert np.all(np.isfinite(out))
+
+
+def test_uncertain_merge_recovers_from_wrong_basin():
+    """PoseGraph.optim with uncertain=True (the cloud's merged graph)
+    must recover a cross-agent merge whose current estimates are in a
+    wrong-basin configuration, using isotropic weights + tree re-init;
+    the same graph with uncertain=False stays distorted (it trusts the
+    estimates and the anisotropic information)."""
+    from deeppointmap_tpu.slam.pose_graph import PoseGraph, PoseGraphEdge, ScanPack
+    from deeppointmap_tpu.utils import se3 as se3m
+
+    def build(uncertain):
+        pg = PoseGraph(agent_id=0)
+        pg.uncertain = uncertain
+        # agent 1: straight line along x, correct estimates
+        toks1, toks2 = [], []
+        n = 12
+        for k in range(n):
+            s = ScanPack(timestamp=k * 0.1, agent_id=1, timestep=k,
+                         key_points=np.zeros((4, 19), np.float32),
+                         full_pcd=np.zeros((4, 3), np.float32),
+                         SE3_pred=se3m.se3(np.eye(3), [k * 2.0, 0, 0]),
+                         coor_sys=1)
+            pg.add_vertex(s)
+            toks1.append(s.token)
+            if k:
+                Z = np.eye(4)
+                Z[0, 3] = 2.0
+                pg.add_edge(PoseGraphEdge(toks1[k - 1], toks1[k], Z,
+                                          np.eye(6), "odom", 0.9, 0.1))
+        # agent 2: the SAME line offset +5 in y, but its estimates are
+        # rotated 90 deg around z about its first pose (wrong basin);
+        # overconfident anisotropic info on its odometry
+        Rz = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+        aniso = np.diag([1e6, 1e6, 1e6, 1e5, 1e5, 1e5]).astype(float)
+        for k in range(n):
+            gt_t = np.array([k * 2.0, 5.0, 0.0])
+            est = se3m.se3(Rz, Rz @ gt_t)
+            s = ScanPack(timestamp=k * 0.1, agent_id=2, timestep=k,
+                         key_points=np.zeros((4, 19), np.float32),
+                         full_pcd=np.zeros((4, 3), np.float32),
+                         SE3_pred=est, coor_sys=1)
+            pg.add_vertex(s)
+            toks2.append(s.token)
+            if k:
+                Z = np.eye(4)
+                Z[0, 3] = 2.0
+                pg.add_edge(PoseGraphEdge(toks2[k - 1], toks2[k], Z,
+                                          aniso, "odom", 0.9, 0.1))
+        # correct cross-agent loop edges at both ends
+        for k in (0, n - 1):
+            Z = np.eye(4)
+            Z[1, 3] = 5.0
+            pg.add_edge(PoseGraphEdge(toks1[k], toks2[k], Z, np.eye(6),
+                                      "loop", 0.8, 0.3))
+        return pg, toks2
+
+    pg, toks2 = build(uncertain=True)
+    pg.optim()
+    got = np.stack([pg.get_scanpack(t).SE3_pred[:3, 3] for t in toks2])
+    want = np.stack([[k * 2.0, 5.0, 0.0] for k in range(12)])
+    assert np.linalg.norm(got - want, axis=1).max() < 0.5
