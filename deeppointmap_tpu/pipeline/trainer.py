@@ -69,6 +69,9 @@ class Trainer:
         self.loss_cfg = LossConfig.from_args(args)
         self.coor_scale = float(args.slam_system.coor_scale)
         self.pad_to = int(args.tpu.encoder_points)
+        from deeppointmap_tpu.utils.compilation_cache import \
+            enable_compilation_cache
+        enable_compilation_cache()
         apply_matmul_precision(args.get("tpu"))
         self.mesh = self._build_mesh(args.tpu.get("data_parallel", "auto"))
         self._check_multihost_determinism()
